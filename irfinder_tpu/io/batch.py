@@ -1,0 +1,83 @@
+"""PackedBatch: the columnar host->device read-batch contract.
+
+This is the engine's analog of the reference's per-fragment FragmentBlocks
+callback unit (SURVEY.md §2 rows 7-9): instead of streaming one fragment at a
+time through a processor chain, the decoder flattens many fragments into
+fixed-capacity, statically-shaped column arrays (BASELINE.json:5 "packed
+(chrom, start, CIGAR-span, splice-gap) tensors") that one jitted device step
+consumes.  Padding lanes carry chrom == -1 and are routed to a trash slot by
+the device kernels, so padded work provably contributes zero (SURVEY.md §7.3
+item 5).
+
+Both the pure-Python decoder (io/bampy.py) and the native C++ decoder
+(native/bamdecode/) emit exactly this layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class PackedBatch:
+    # aligned contiguous blocks (one per CIGAR run of M/D/=/X per mate)
+    blk_chrom: np.ndarray  # int32 (B,)  compiled chrom id, -1 = pad/unknown
+    blk_start: np.ndarray  # int32 (B,)
+    blk_end: np.ndarray  # int32 (B,)
+    blk_strand: np.ndarray  # int32 (B,)  fragment strand 0/1
+    # splice gaps (one per N CIGAR op per mate)
+    gap_chrom: np.ndarray  # int32 (G,)
+    gap_start: np.ndarray  # int32 (G,)
+    gap_end: np.ndarray  # int32 (G,)
+    gap_strand: np.ndarray  # int32 (G,)
+    # fragment spans (for ROI / per-chrom tallies)
+    frag_chrom: np.ndarray  # int32 (F,)  compiled chrom id, -1 = pad/unknown
+    frag_refid: np.ndarray  # int32 (F,)  BAM-space ref id, -1 = pad
+    frag_start: np.ndarray  # int32 (F,)
+    frag_end: np.ndarray  # int32 (F,)
+    frag_strand: np.ndarray  # int32 (F,)
+    # scalars (host-side metrics; not shipped to device)
+    n_blocks: int = 0
+    n_gaps: int = 0
+    n_frags: int = 0
+    n_reads: int = 0  # admitted reads folded into this batch
+
+    @staticmethod
+    def empty(cap_blocks: int, cap_gaps: int, cap_frags: int) -> "PackedBatch":
+        z = lambda n: np.zeros(n, dtype=np.int32)
+        m = lambda n: np.full(n, -1, dtype=np.int32)
+        return PackedBatch(
+            blk_chrom=m(cap_blocks),
+            blk_start=z(cap_blocks),
+            blk_end=z(cap_blocks),
+            blk_strand=z(cap_blocks),
+            gap_chrom=m(cap_gaps),
+            gap_start=z(cap_gaps),
+            gap_end=z(cap_gaps),
+            gap_strand=z(cap_gaps),
+            frag_chrom=m(cap_frags),
+            frag_refid=m(cap_frags),
+            frag_start=z(cap_frags),
+            frag_end=z(cap_frags),
+            frag_strand=z(cap_frags),
+        )
+
+    def device_arrays(self) -> dict:
+        """The arrays shipped to the device step (order-stable dict)."""
+        return {
+            "blk_chrom": self.blk_chrom,
+            "blk_start": self.blk_start,
+            "blk_end": self.blk_end,
+            "blk_strand": self.blk_strand,
+            "gap_chrom": self.gap_chrom,
+            "gap_start": self.gap_start,
+            "gap_end": self.gap_end,
+            "gap_strand": self.gap_strand,
+            "frag_chrom": self.frag_chrom,
+            "frag_refid": self.frag_refid,
+            "frag_start": self.frag_start,
+            "frag_end": self.frag_end,
+            "frag_strand": self.frag_strand,
+        }
