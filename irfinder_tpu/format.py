@@ -1,0 +1,104 @@
+"""Byte-exact output table writers.
+
+The reference wrote fixed-column tab-separated tables from C++ iostreams
+(SURVEY.md §2 row 16 [R]); bit-identity of IRFinder-IR-{nondir,dir}.txt is a
+graded metric (BASELINE.json:2,5), so every numeric format lives here as one
+named function to be pinned against golden files the first time they are
+available (SURVEY.md §0 verification protocol, §7.3 item 2).
+"""
+
+from __future__ import annotations
+
+from typing import IO, Iterable, Sequence
+
+import numpy as np
+
+from . import semantics as S
+from .refio.compile import CompiledRef, STRAND_CHAR
+
+
+def fmt_float(v: float) -> str:
+    """Float column format for IR tables — C printf %g equivalent.
+    [R:verify vs goldens]"""
+    return f"{v:g}"
+
+
+def write_ir_table(out: IO[str], rows: Iterable[S.IntronRow], header: bool = True) -> None:
+    """IRFinder-IR-nondir.txt / IRFinder-IR-dir.txt (SURVEY.md §2 column spec,
+    20 columns [R:verify order])."""
+    if header:
+        out.write("\t".join(S.IR_TABLE_COLUMNS) + "\n")
+    f = fmt_float
+    for r in rows:
+        out.write(
+            "\t".join(
+                (
+                    r.chrom,
+                    str(r.start),
+                    str(r.end),
+                    r.name,
+                    "0",
+                    r.strand,
+                    f(r.coverage),
+                    f(r.intron_depth),
+                    str(r.p25),
+                    str(r.p50),
+                    str(r.p75),
+                    str(r.exon_intron_left),
+                    str(r.exon_intron_right),
+                    f(r.depth_first50),
+                    f(r.depth_last50),
+                    str(r.splice_left),
+                    str(r.splice_right),
+                    str(r.splice_exact),
+                    f(r.ir_ratio),
+                    r.warning,
+                )
+            )
+            + "\n"
+        )
+
+
+def write_junc_count(out: IO[str], chroms: Sequence[str], junc_tally: dict) -> None:
+    """IRFinder-JuncCount.txt: every observed splice junction with
+    strand-resolved fragment counts.  junc_tally: {(chrom_id, start, end):
+    [fwd, rev]} accumulated by the engine's decode loop (sparse dynamic keys
+    stay host-side; SURVEY.md §2 row 10).  Sorted by (chrom, start, end).
+    Columns [R:verify]: Chr Start End Fwd Rev Total."""
+    out.write("Chr\tStart\tEnd\tFwd\tRev\tTotal\n")
+    for (c, s, e) in sorted(junc_tally):
+        fwd, rev = junc_tally[(c, s, e)]
+        out.write(f"{chroms[c]}\t{s}\t{e}\t{fwd}\t{rev}\t{fwd + rev}\n")
+
+
+def write_spans_point(out: IO[str], ref: CompiledRef, span_hits: np.ndarray) -> None:
+    """IRFinder-SpansPoint.txt: per unique intron boundary point, reads whose
+    aligned block spans it with >= SPANS_OVERHANG on both sides.
+    Columns [R:verify]: Chr Coord Fwd Rev Total."""
+    out.write("Chr\tCoord\tFwd\tRev\tTotal\n")
+    for i in range(ref.point_coord.size):
+        c = int(np.searchsorted(ref.point_seg, i, side="right")) - 1
+        fwd, rev = int(span_hits[0, i]), int(span_hits[1, i])
+        out.write(f"{ref.chroms[c]}\t{int(ref.point_coord[i])}\t{fwd}\t{rev}\t{fwd + rev}\n")
+
+
+def write_roi(out: IO[str], ref: CompiledRef, roi_cnt: np.ndarray) -> None:
+    """IRFinder-ROI.txt: fragment counts per named region of interest.
+    Columns [R:verify]: Name Chr Start End Strand Fwd Rev Total."""
+    out.write("Name\tChr\tStart\tEnd\tStrand\tFwd\tRev\tTotal\n")
+    for r in range(len(ref.roi_names)):
+        c = int(np.searchsorted(ref.roi_seg, r, side="right")) - 1
+        fwd, rev = int(roi_cnt[0, r]), int(roi_cnt[1, r])
+        out.write(
+            f"{ref.roi_names[r]}\t{ref.chroms[c]}\t{int(ref.roi_start[r])}\t"
+            f"{int(ref.roi_end[r])}\t{STRAND_CHAR[int(ref.roi_strand[r])]}\t"
+            f"{fwd}\t{rev}\t{fwd + rev}\n"
+        )
+
+
+def write_chr_coverage(out: IO[str], ref_names: Sequence[str], chr_frag: np.ndarray) -> None:
+    """IRFinder-ChrCoverage.txt: fragments per BAM reference sequence.
+    Columns [R:verify]: Chr Fragments."""
+    out.write("Chr\tFragments\n")
+    for i, nm in enumerate(ref_names):
+        out.write(f"{nm}\t{int(chr_frag[i])}\n")

@@ -1,0 +1,155 @@
+"""Device-resident reference tensors.
+
+The reference loaded its REF directory into per-chromosome std::map /
+sorted-vector processor state (SURVEY.md §2 rows 9-12, historical
+src/irfinder/main.cpp + ReadBlockProcessor*.cpp [R]); the TPU engine instead
+keeps ONE globally sorted (chrom, coord) table per lookup kind in HBM, padded
+with a single sentinel row so that
+
+* lexicographic binary search never needs per-chromosome branching,
+* the sentinel row doubles as the scatter "trash slot": query lanes that miss
+  (including batch padding with chrom == -1) are routed to index ``n`` and the
+  counter arrays carry one extra trailing slot that is dropped at finalize.
+
+All columns are int32 — TPUs run 32-bit lanes natively and every genomic
+coordinate / MBS offset fits (human MBS ≈ 1.3e9 < 2^31; whole-genome maps are
+chromosome-sharded anyway, SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..refio.compile import CompiledRef
+from .search import searchsorted_lex
+
+#: Sentinel chromosome id for pad rows: larger than any real chrom id, so no
+#: query (real chrom or -1 padding) ever compares equal or greater.
+PAD_CHROM = np.int32(2**31 - 1)
+
+
+def _chrom_col(seg: np.ndarray) -> np.ndarray:
+    """Expand per-chrom segment offsets into a per-row chrom id column."""
+    return np.repeat(
+        np.arange(len(seg) - 1, dtype=np.int32), np.diff(seg).astype(np.int64)
+    )
+
+
+def _pad_sentinel(*cols: np.ndarray) -> list:
+    """Append one sentinel row (first col = PAD_CHROM, rest = 0)."""
+    out = [np.concatenate([cols[0], [PAD_CHROM]]).astype(np.int32)]
+    for c in cols[1:]:
+        out.append(np.concatenate([c, [0]]).astype(np.int32))
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceRef:
+    """Pytree of device arrays + static sizes.  Built once per run; all jitted
+    steps take it as an argument so shardings can be attached externally."""
+
+    # measured-base-space spans (rank lookup): sentinel row has len 0, off=mbs
+    uspan_chrom: jnp.ndarray  # (U+1,)
+    uspan_start: jnp.ndarray
+    uspan_len: jnp.ndarray
+    uspan_off: jnp.ndarray  # int32 MBS offsets
+    chrom_base: jnp.ndarray  # (n_chroms,) MBS offset of each chrom's first span
+    # boundary / pair / point tables (sentinel-padded)
+    bstart_chrom: jnp.ndarray
+    bstart_coord: jnp.ndarray
+    bend_chrom: jnp.ndarray
+    bend_coord: jnp.ndarray
+    pair_chrom: jnp.ndarray
+    pair_start: jnp.ndarray
+    pair_end: jnp.ndarray
+    point_chrom: jnp.ndarray
+    point_coord: jnp.ndarray
+    # ROI intervals (sentinel-padded)
+    roi_chrom: jnp.ndarray
+    roi_start: jnp.ndarray
+    roi_end: jnp.ndarray
+
+    @property
+    def mbs_size(self) -> int:
+        return int(self.uspan_off[-1])
+
+    def sizes(self) -> dict:
+        """Real (unpadded) table sizes; counter arrays add 1 trash slot."""
+        return {
+            "S": int(self.bstart_coord.shape[0]) - 1,
+            "E": int(self.bend_coord.shape[0]) - 1,
+            "X": int(self.pair_start.shape[0]) - 1,
+            "P": int(self.point_coord.shape[0]) - 1,
+            "R": int(self.roi_start.shape[0]) - 1,
+        }
+
+
+def _tree_flatten(d: DeviceRef):
+    leaves = [getattr(d, f.name) for f in dataclasses.fields(DeviceRef)]
+    return leaves, None
+
+
+def _tree_unflatten(_, leaves):
+    return DeviceRef(*leaves)
+
+
+import jax.tree_util  # noqa: E402
+
+jax.tree_util.register_pytree_node(DeviceRef, _tree_flatten, _tree_unflatten)
+
+
+def build_device_ref(ref: CompiledRef) -> DeviceRef:
+    """Host CompiledRef -> device tensors (one H2D put per table)."""
+    u_chrom = _chrom_col(ref.uspan_seg)
+    u_len = (ref.uspan_end - ref.uspan_start).astype(np.int32)
+    u_off = ref.uspan_mbs_off[:-1].astype(np.int32) if ref.uspan_start.size else np.zeros(0, np.int32)
+    mbs = int(ref.uspan_mbs_off[-1]) if ref.uspan_mbs_off.size else 0
+    uc, us, ul, uo = _pad_sentinel(u_chrom, ref.uspan_start, u_len, u_off)
+    uo[-1] = mbs  # sentinel offset = total MBS size (also the trash rank)
+    chrom_base = ref.uspan_mbs_off[ref.uspan_seg[:-1]].astype(np.int32)
+
+    bs = _pad_sentinel(_chrom_col(ref.bstart_seg), ref.bstart_coord)
+    be = _pad_sentinel(_chrom_col(ref.bend_seg), ref.bend_coord)
+    pr = _pad_sentinel(_chrom_col(ref.upair_seg), ref.upair_start, ref.upair_end)
+    pt = _pad_sentinel(_chrom_col(ref.point_seg), ref.point_coord)
+    ro = _pad_sentinel(_chrom_col(ref.roi_seg), ref.roi_start, ref.roi_end)
+
+    j = jnp.asarray
+    return DeviceRef(
+        uspan_chrom=j(uc),
+        uspan_start=j(us),
+        uspan_len=j(ul),
+        uspan_off=j(uo),
+        chrom_base=j(chrom_base if chrom_base.size else np.zeros(1, np.int32)),
+        bstart_chrom=j(bs[0]),
+        bstart_coord=j(bs[1]),
+        bend_chrom=j(be[0]),
+        bend_coord=j(be[1]),
+        pair_chrom=j(pr[0]),
+        pair_start=j(pr[1]),
+        pair_end=j(pr[2]),
+        point_chrom=j(pt[0]),
+        point_coord=j(pt[1]),
+        roi_chrom=j(ro[0]),
+        roi_start=j(ro[1]),
+        roi_end=j(ro[2]),
+    )
+
+
+def mbs_rank(dref: DeviceRef, chrom: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized measured-base-space rank (device analog of
+    oracle.mbs_rank): number of included bases on `chrom` strictly before
+    `pos`.  Pad lanes (chrom < 0) return mbs_size (the trash rank), so a
+    padded block contributes +1/-1 at the same diff slot and provably cancels.
+    """
+    mbs = dref.uspan_off[-1]  # sentinel slot == total size
+    j = searchsorted_lex((dref.uspan_chrom, dref.uspan_start), (chrom, pos), side="right") - 1
+    jc = jnp.clip(j, 0, dref.uspan_chrom.shape[0] - 1)
+    same = (j >= 0) & (jnp.take(dref.uspan_chrom, jc) == chrom)
+    within = jnp.clip(pos - jnp.take(dref.uspan_start, jc), 0, jnp.take(dref.uspan_len, jc))
+    base = jnp.take(dref.chrom_base, jnp.clip(chrom, 0, dref.chrom_base.shape[0] - 1))
+    rank = jnp.where(same, jnp.take(dref.uspan_off, jc) + within, base)
+    return jnp.where(chrom >= 0, rank, mbs).astype(jnp.int32)

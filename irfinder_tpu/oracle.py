@@ -16,7 +16,7 @@ import dataclasses
 import numpy as np
 
 from . import semantics as S
-from .refio.compile import CompiledRef, STRAND_CHAR
+from .refio.compile import CompiledRef
 from .io.batch import PackedBatch
 
 
@@ -159,67 +159,17 @@ def intron_rows(
     mode: str = "nondir",
     flip_strand: bool = False,
 ) -> list:
-    """Finalize counters into IntronRow records.
+    """Finalize counters into IntronRow records via the shared row math in
+    irfinder_tpu.finalize (one code path for oracle and engine)."""
+    from .finalize import intron_rows as _rows
 
-    mode: "nondir" sums both fragment strands; "dir" keeps only fragments
-    whose (optionally flipped) strand matches the intron strand.
-    flip_strand: library polarity correction from the directionality detector
-    (fragment strand 0 maps to annotation '-' when True).
-    """
-    ref = counters.ref
-    rows = []
-    for i in range(ref.n_introns):
-        istrand = int(ref.intron_strand[i])
-        if mode == "nondir":
-            sel = (0, 1)
-        else:
-            want = istrand if not flip_strand else 1 - istrand
-            sel = (want,) if istrand in (0, 1) else (0, 1)
-
-        def cnt(arr, idx):
-            return int(sum(arr[s, idx] for s in sel))
-
-        # depth over the intron's included bases
-        runs = slice(int(ref.intron_run_off[i]), int(ref.intron_run_off[i + 1]))
-        pieces = [
-            sum(counters.depth[s] for s in sel)[m : m + l]
-            for m, l in zip(ref.run_mbs_start[runs], ref.run_len[runs])
-        ]
-        d = np.concatenate(pieces) if pieces else np.zeros(0, dtype=np.int64)
-        n = d.size
-        if n:
-            ds = np.sort(d)
-            coverage = float(np.count_nonzero(d)) / n
-            mean_depth = float(d.sum()) / n
-            p25 = int(ds[S.percentile_rank_index(0.25, n)])
-            p50 = int(ds[S.percentile_rank_index(0.50, n)])
-            p75 = int(ds[S.percentile_rank_index(0.75, n)])
-            w = min(S.EDGE_DEPTH_WINDOW, n)
-            first50 = float(d[:w].sum()) / w
-            last50 = float(d[-w:].sum()) / w
-        else:
-            coverage = mean_depth = first50 = last50 = 0.0
-            p25 = p50 = p75 = 0
-
-        rows.append(
-            S.IntronRow(
-                chrom=ref.chroms[int(ref.intron_chrom[i])],
-                start=int(ref.intron_start[i]),
-                end=int(ref.intron_end[i]),
-                name=ref.intron_names[i],
-                strand=STRAND_CHAR[istrand],
-                coverage=coverage,
-                intron_depth=mean_depth,
-                p25=p25,
-                p50=p50,
-                p75=p75,
-                exon_intron_left=cnt(counters.span_hits, int(ref.intron_pstart_idx[i])),
-                exon_intron_right=cnt(counters.span_hits, int(ref.intron_pend_idx[i])),
-                depth_first50=first50,
-                depth_last50=last50,
-                splice_left=cnt(counters.start_cnt, int(ref.intron_bstart_idx[i])),
-                splice_right=cnt(counters.end_cnt, int(ref.intron_bend_idx[i])),
-                splice_exact=cnt(counters.exact_cnt, int(ref.intron_pair_idx[i])),
-            )
-        )
-    return rows
+    return _rows(
+        counters.ref,
+        counters.depth,
+        counters.start_cnt,
+        counters.end_cnt,
+        counters.exact_cnt,
+        counters.span_hits,
+        mode=mode,
+        flip_strand=flip_strand,
+    )
