@@ -64,8 +64,7 @@ def cmd_bam(args) -> int:
     from .refio.compile import CompiledRef
 
     ref = CompiledRef.load(args.ref)
-    with open(args.bam, "rb") as fh:
-        metrics = run_bam(ref, fh, args.out)
+    metrics = run_bam(ref, args.bam, args.out)
     print(json.dumps(metrics.as_dict(), indent=1))
     return 0
 

@@ -77,7 +77,7 @@ def differential_rows(
     for s in samples_a + samples_b:
         if s.key != keys:
             raise ValueError("IR tables do not share an intron row set")
-    rows = []
+    pre = []
     for i, key in enumerate(keys):
         da = sum(s.intron_depth[i] for s in samples_a)
         db = sum(s.intron_depth[i] for s in samples_b)
@@ -89,13 +89,6 @@ def differential_rows(
             continue
         ra = da / (da + ja) if da + ja > 0 else 0.0
         rb = db / (db + jb) if db + jb > 0 else 0.0
-        # A-C test: intronic count in A vs B, normalized by spliced abundance
-        # as the library-size proxy (pooled winflat call of the Perl script
-        # [R:verify normalization])
-        p = ac_pvalue(
-            int(round(da)), int(round(db)),
-            nx=max(1.0, da + ja), ny=max(1.0, db + jb),
-        )
         direction = rb - ra
         consistent = True
         for sa in samples_a:
@@ -103,8 +96,26 @@ def differential_rows(
                 d = sb.ir_ratio[i] - sa.ir_ratio[i]
                 if direction != 0 and d * direction < 0:
                     consistent = False
-        rows.append((key, da, ja, ra, db, jb, rb, direction, p, consistent))
-    return rows
+        pre.append((key, da, ja, ra, db, jb, rb, direction, consistent, i))
+
+    # A-C test: intronic count in A vs B, normalized by total (intronic +
+    # spliced) abundance as the library-size proxy (pooled winflat call of the
+    # Perl script [R:verify normalization]).  One batch call through the
+    # native winflat when built; pure-Python fallback otherwise.
+    xs = [int(round(r[1])) for r in pre]
+    ys = [int(round(r[4])) for r in pre]
+    nxs = [max(1.0, r[1] + r[2]) for r in pre]
+    nys = [max(1.0, r[4] + r[5]) for r in pre]
+    try:
+        from .native.winflat_native import pvalues
+
+        ps = pvalues(xs, ys, nxs, nys)
+    except Exception:
+        ps = [ac_pvalue(x, y, nx, ny) for x, y, nx, ny in zip(xs, ys, nxs, nys)]
+    return [
+        (key, da, ja, ra, db, jb, rb, direction, float(p), consistent)
+        for (key, da, ja, ra, db, jb, rb, direction, consistent, _i), p in zip(pre, ps)
+    ]
 
 
 def write_differential(out_path: str, rows: list) -> None:

@@ -136,18 +136,42 @@ class Engine:
         }
 
 
+def open_decoder(
+    ref: CompiledRef,
+    bam,
+    cap_frags: int = 1 << 15,
+    use_native: bool = True,
+):
+    """Pick the decoder: the multithreaded native C++ decoder for file paths
+    (SURVEY.md §2 row 7), the pure-Python decoder for file objects or when the
+    native toolchain is unavailable.  Both emit identical batch streams
+    (tests/test_bamdecode.py)."""
+    chrom_index = {c: i for i, c in enumerate(ref.chroms)}
+    if isinstance(bam, (str, os.PathLike)):
+        if use_native:
+            try:
+                from .native.bamdecode import decode_bam_native
+
+                return decode_bam_native(str(bam), chrom_index, cap_frags=cap_frags)
+            except (RuntimeError, OSError, AssertionError):
+                pass  # no toolchain / build failure: fall through to Python
+        bam = open(bam, "rb")
+    return decode_bam(bam, chrom_index, cap_frags=cap_frags)
+
+
 def run_bam(
     ref: CompiledRef,
-    bam: BinaryIO,
+    bam,
     out_dir: str,
     cap_frags: int = 1 << 15,
+    use_native: bool = True,
 ) -> RunMetrics:
     """The `-m BAM` counting path (SURVEY.md §3.3): count one aligner-ordered
-    BAM against a compiled reference and write the full output table set."""
+    BAM (path or file object) against a compiled reference and write the full
+    output table set."""
     engine = Engine(ref, cap_frags=cap_frags)
-    chrom_index = {c: i for i, c in enumerate(ref.chroms)}
     t0 = time.perf_counter()
-    header, batches, stats = decode_bam(bam, chrom_index, cap_frags=cap_frags)
+    header, batches, stats = open_decoder(ref, bam, cap_frags, use_native)
     engine.reset(n_refids=len(header.ref_names))
     engine.run_stream(batches)
     engine.metrics.decode_s = time.perf_counter() - t0 - engine.metrics.device_s

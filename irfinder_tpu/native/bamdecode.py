@@ -1,0 +1,151 @@
+"""ctypes binding for the native BAM decoder (native/bamdecode/).
+
+Produces the identical PackedBatch stream as the pure-Python decoder
+(irfinder_tpu/io/bampy.py — the conformance spec; tests/test_bamdecode.py
+asserts equality), but with multi-threaded BGZF inflation for the >10×
+throughput target (SURVEY.md §7.3 item 3, BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Iterator
+
+import numpy as np
+
+from ..io.bampy import BamHeader, DecodeStats
+from ..io.batch import PackedBatch
+from .. import semantics as S
+from . import ensure_built
+
+_I32P = ctypes.POINTER(ctypes.c_int32)
+
+
+class _BdBatchView(ctypes.Structure):
+    _fields_ = (
+        [(n, _I32P) for n in (
+            "blk_chrom", "blk_start", "blk_end", "blk_strand",
+            "gap_chrom", "gap_start", "gap_end", "gap_strand",
+            "frag_chrom", "frag_refid", "frag_start", "frag_end", "frag_strand",
+        )]
+        + [(n, ctypes.c_int64) for n in (
+            "n_blocks", "n_gaps", "n_frags", "n_reads",
+            "cap_blocks", "cap_gaps", "cap_frags",
+        )]
+    )
+
+
+_lib = None
+
+
+def load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = ensure_built("bamdecode", "libbamdecode.so")
+    lib = ctypes.CDLL(path)
+    lib.bd_open.restype = ctypes.c_void_p
+    lib.bd_open.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int]
+    lib.bd_error.restype = ctypes.c_char_p
+    lib.bd_error.argtypes = [ctypes.c_void_p]
+    lib.bd_n_refs.argtypes = [ctypes.c_void_p]
+    lib.bd_ref_name.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+    lib.bd_ref_len.restype = ctypes.c_int64
+    lib.bd_ref_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.bd_set_chrom_lut.argtypes = [ctypes.c_void_p, _I32P, ctypes.c_int64]
+    lib.bd_next_batch.argtypes = [ctypes.c_void_p, ctypes.POINTER(_BdBatchView)]
+    lib.bd_stats.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.bd_semantics.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+    lib.bd_close.argtypes = [ctypes.c_void_p]
+    # drift check: the binary's baked-in admission constants must match
+    # irfinder_tpu.semantics (single source of truth)
+    sem = (ctypes.c_int32 * 3)()
+    lib.bd_semantics(sem)
+    assert sem[0] == S.FLAG_DROP_MASK and sem[1] == S.MIN_MAPQ and sem[2] == S.MIN_GAP_AS_JUNCTION, (
+        "native decoder semantics drift: rebuild native/bamdecode against "
+        "irfinder_tpu/semantics.py"
+    )
+    _lib = lib
+    return lib
+
+
+def _copy_col(ptr, n_used: int, cap: int, fill: int) -> np.ndarray:
+    out = np.full(cap, fill, dtype=np.int32)
+    if n_used:
+        out[:n_used] = np.ctypeslib.as_array(ptr, shape=(n_used,))
+    return out
+
+
+def decode_bam_native(
+    path: str,
+    chrom_index: dict,
+    cap_frags: int = 1 << 15,
+    n_threads: int | None = None,
+):
+    """Native analog of io.bampy.decode_bam, file-path based.
+
+    Returns (header, batch_iterator, stats); stats totals are filled as the
+    iterator is consumed."""
+    lib = load_library()
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 4)
+    h = lib.bd_open(path.encode(), cap_frags, n_threads)
+    err = lib.bd_error(h)
+    if err:
+        msg = err.decode()
+        lib.bd_close(h)
+        raise ValueError(f"bamdecode: {msg}")
+    n = lib.bd_n_refs(h)
+    names, lengths = [], []
+    buf = ctypes.create_string_buffer(4096)
+    for i in range(n):
+        lib.bd_ref_name(h, i, buf, 4096)
+        names.append(buf.value.decode())
+        lengths.append(int(lib.bd_ref_len(h, i)))
+    header = BamHeader("", names, lengths)
+    lut = np.array([chrom_index.get(nm, -1) for nm in names], dtype=np.int32)
+    lut = np.ascontiguousarray(lut)
+    lib.bd_set_chrom_lut(h, lut.ctypes.data_as(_I32P), len(lut))
+    stats = DecodeStats()
+
+    def gen() -> Iterator[PackedBatch]:
+        view = _BdBatchView()
+        try:
+            while True:
+                rc = lib.bd_next_batch(h, ctypes.byref(view))
+                if rc < 0:
+                    raise ValueError(f"bamdecode: {lib.bd_error(h).decode()}")
+                if rc == 0:
+                    break
+                nb, ng, nf = int(view.n_blocks), int(view.n_gaps), int(view.n_frags)
+                yield PackedBatch(
+                    blk_chrom=_copy_col(view.blk_chrom, nb, view.cap_blocks, -1),
+                    blk_start=_copy_col(view.blk_start, nb, view.cap_blocks, 0),
+                    blk_end=_copy_col(view.blk_end, nb, view.cap_blocks, 0),
+                    blk_strand=_copy_col(view.blk_strand, nb, view.cap_blocks, 0),
+                    gap_chrom=_copy_col(view.gap_chrom, ng, view.cap_gaps, -1),
+                    gap_start=_copy_col(view.gap_start, ng, view.cap_gaps, 0),
+                    gap_end=_copy_col(view.gap_end, ng, view.cap_gaps, 0),
+                    gap_strand=_copy_col(view.gap_strand, ng, view.cap_gaps, 0),
+                    frag_chrom=_copy_col(view.frag_chrom, nf, view.cap_frags, -1),
+                    frag_refid=_copy_col(view.frag_refid, nf, view.cap_frags, -1),
+                    frag_start=_copy_col(view.frag_start, nf, view.cap_frags, 0),
+                    frag_end=_copy_col(view.frag_end, nf, view.cap_frags, 0),
+                    frag_strand=_copy_col(view.frag_strand, nf, view.cap_frags, 0),
+                    n_blocks=nb,
+                    n_gaps=ng,
+                    n_frags=nf,
+                    n_reads=int(view.n_reads),
+                )
+        finally:
+            st = (ctypes.c_int64 * 6)()
+            lib.bd_stats(h, st)
+            stats.reads_total = int(st[0])
+            stats.reads_admitted = int(st[1])
+            stats.fragments = int(st[2])
+            stats.pairs = int(st[3])
+            stats.singles = int(st[4])
+            lib.bd_close(h)
+
+    return header, gen(), stats

@@ -1,0 +1,89 @@
+"""Native C++ decoder vs pure-Python decoder: bit-identical PackedBatch
+streams (the conformance contract in irfinder_tpu/io/bampy.py's docstring).
+Skipped when the native toolchain can't build the library."""
+
+import io
+
+import numpy as np
+import pytest
+
+from irfinder_tpu.io.bampy import decode_bam
+
+from test_oracle import CHROM_INDEX, random_bam_bytes
+
+nat = pytest.importorskip("irfinder_tpu.native.bamdecode")
+
+
+@pytest.fixture(scope="module")
+def lib():
+    try:
+        return nat.load_library()
+    except Exception as e:  # no toolchain
+        pytest.skip(f"native build unavailable: {e}")
+
+
+def _batches_py(bam_bytes, cap):
+    hdr, gen, stats = decode_bam(io.BytesIO(bam_bytes), CHROM_INDEX, cap_frags=cap)
+    return hdr, list(gen), stats
+
+
+def _batches_native(path, cap, threads=4):
+    hdr, gen, stats = nat.decode_bam_native(path, CHROM_INDEX, cap_frags=cap, n_threads=threads)
+    return hdr, list(gen), stats
+
+
+COLS = [
+    "blk_chrom", "blk_start", "blk_end", "blk_strand",
+    "gap_chrom", "gap_start", "gap_end", "gap_strand",
+    "frag_chrom", "frag_refid", "frag_start", "frag_end", "frag_strand",
+]
+
+
+@pytest.mark.parametrize("cap,threads", [(1 << 15, 4), (13, 1), (13, 8)])
+def test_native_matches_python(lib, tmp_path, cap, threads):
+    bam = random_bam_bytes(seed=21, n_frags=400)
+    p = tmp_path / "t.bam"
+    p.write_bytes(bam)
+    hdr_a, py, st_a = _batches_py(bam, cap)
+    hdr_b, nt, st_b = _batches_native(str(p), cap, threads)
+    assert hdr_a.ref_names == hdr_b.ref_names
+    assert hdr_a.ref_lengths == hdr_b.ref_lengths
+    assert len(py) == len(nt)
+    for i, (a, b) in enumerate(zip(py, nt)):
+        assert (a.n_blocks, a.n_gaps, a.n_frags, a.n_reads) == (
+            b.n_blocks, b.n_gaps, b.n_frags, b.n_reads,
+        ), f"batch {i} counts"
+        for c in COLS:
+            np.testing.assert_array_equal(
+                getattr(a, c), getattr(b, c), err_msg=f"batch {i} col {c}"
+            )
+    assert (st_a.reads_total, st_a.reads_admitted, st_a.fragments, st_a.pairs, st_a.singles) == (
+        st_b.reads_total, st_b.reads_admitted, st_b.fragments, st_b.pairs, st_b.singles,
+    )
+
+
+def test_native_corrupt_bgzf(lib, tmp_path):
+    bam = bytearray(random_bam_bytes(seed=22, n_frags=50))
+    bam[len(bam) // 2] ^= 0xFF  # flip a byte mid-file
+    p = tmp_path / "bad.bam"
+    p.write_bytes(bytes(bam))
+    with pytest.raises(ValueError):
+        hdr, gen, _ = nat.decode_bam_native(str(p), CHROM_INDEX)
+        list(gen)
+
+
+def test_native_truncated(lib, tmp_path):
+    bam = random_bam_bytes(seed=23, n_frags=50)
+    p = tmp_path / "trunc.bam"
+    p.write_bytes(bam[: len(bam) // 2])
+    with pytest.raises(ValueError):
+        hdr, gen, _ = nat.decode_bam_native(str(p), CHROM_INDEX)
+        list(gen)
+
+
+def test_native_empty_file(lib, tmp_path):
+    p = tmp_path / "empty.bam"
+    p.write_bytes(b"")
+    with pytest.raises(ValueError):
+        hdr, gen, _ = nat.decode_bam_native(str(p), CHROM_INDEX)
+        list(gen)

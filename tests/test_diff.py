@@ -104,3 +104,21 @@ def test_cli_diff_and_buildref(tmp_path):
     ref = CompiledRef.load(str(refdir))
     assert ref.n_introns == 1
     assert ref.intron_start[0] == 200 and ref.intron_end[0] == 500
+
+
+def test_native_winflat_matches_python():
+    import numpy as np
+
+    wn = pytest.importorskip("irfinder_tpu.native.winflat_native")
+    try:
+        wn.load_library()
+    except Exception as e:
+        pytest.skip(f"native build unavailable: {e}")
+    rng = np.random.default_rng(0)
+    xs = rng.integers(0, 200, 50)
+    ys = rng.integers(0, 200, 50)
+    nxs = rng.uniform(1, 400, 50)
+    nys = rng.uniform(1, 400, 50)
+    got = wn.pvalues(xs, ys, nxs, nys)
+    want = [ac_pvalue(int(x), int(y), nx, ny) for x, y, nx, ny in zip(xs, ys, nxs, nys)]
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
