@@ -106,7 +106,7 @@ class Engine:
     def counters_host(self) -> dict:
         """Finalize diff arrays on device, pull everything to host NumPy."""
         t0 = time.perf_counter()
-        fin = jax.jit(finalize_device)(self.counters)
+        fin = jax.jit(finalize_device)(self.dref, self.counters)
         out = {k: np.asarray(v) for k, v in fin.items()}
         self.metrics.finalize_s += time.perf_counter() - t0
         return out

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..refio.compile import CompiledRef
-from .search import searchsorted_lex
+from .bucket import BucketTable
 
 #: Sentinel chromosome id for pad rows: larger than any real chrom id, so no
 #: query (real chrom or -1 padding) ever compares equal or greater.
@@ -71,10 +71,19 @@ class DeviceRef:
     roi_chrom: jnp.ndarray
     roi_start: jnp.ndarray
     roi_end: jnp.ndarray
+    # bucketed rank tables (ops/bucket.py) — the hot-path search structures;
+    # the flat sentinel-padded columns above are kept for finalize/tests
+    uspan_bt: BucketTable  # keys (chrom,start); payload (chrom,start,len,off)
+    bstart_bt: BucketTable  # keys (chrom,coord); payload = keys
+    bend_bt: BucketTable
+    pair_bt: BucketTable  # keys (chrom,start,end); payload = keys
+    point_bt: BucketTable  # keys (chrom,coord); rank-only
+    # static (non-pytree-leaf) metadata — usable inside jit traces
+    mbs_size_static: int = 0
 
     @property
     def mbs_size(self) -> int:
-        return int(self.uspan_off[-1])
+        return self.mbs_size_static
 
     def sizes(self) -> dict:
         """Real (unpadded) table sizes; counter arrays add 1 trash slot."""
@@ -87,13 +96,18 @@ class DeviceRef:
         }
 
 
+_STATIC_FIELDS = ("mbs_size_static",)
+
+
 def _tree_flatten(d: DeviceRef):
-    leaves = [getattr(d, f.name) for f in dataclasses.fields(DeviceRef)]
-    return leaves, None
+    names = [f.name for f in dataclasses.fields(DeviceRef) if f.name not in _STATIC_FIELDS]
+    leaves = [getattr(d, n) for n in names]
+    aux = tuple(getattr(d, n) for n in _STATIC_FIELDS)
+    return leaves, aux
 
 
-def _tree_unflatten(_, leaves):
-    return DeviceRef(*leaves)
+def _tree_unflatten(aux, leaves):
+    return DeviceRef(*leaves, *aux)
 
 
 import jax.tree_util  # noqa: E402
@@ -117,6 +131,24 @@ def build_device_ref(ref: CompiledRef) -> DeviceRef:
     pt = _pad_sentinel(_chrom_col(ref.point_seg), ref.point_coord)
     ro = _pad_sentinel(_chrom_col(ref.roi_seg), ref.roi_start, ref.roi_end)
 
+    # bucketed search tables over the UNPADDED columns (BucketTable manages
+    # its own sentinel padding)
+    bs_c, bs_v = _chrom_col(ref.bstart_seg), ref.bstart_coord
+    be_c, be_v = _chrom_col(ref.bend_seg), ref.bend_coord
+    pr_c = _chrom_col(ref.upair_seg)
+    pt_c, pt_v = _chrom_col(ref.point_seg), ref.point_coord
+    uspan_bt = BucketTable.build(
+        (u_chrom, ref.uspan_start),
+        payload_cols=(u_chrom, ref.uspan_start, u_len, u_off),
+    )
+    bstart_bt = BucketTable.build((bs_c, bs_v), payload_cols=(bs_c, bs_v))
+    bend_bt = BucketTable.build((be_c, be_v), payload_cols=(be_c, be_v))
+    pair_bt = BucketTable.build(
+        (pr_c, ref.upair_start, ref.upair_end),
+        payload_cols=(pr_c, ref.upair_start, ref.upair_end),
+    )
+    point_bt = BucketTable.build((pt_c, pt_v))
+
     j = jnp.asarray
     return DeviceRef(
         uspan_chrom=j(uc),
@@ -136,6 +168,12 @@ def build_device_ref(ref: CompiledRef) -> DeviceRef:
         roi_chrom=j(ro[0]),
         roi_start=j(ro[1]),
         roi_end=j(ro[2]),
+        uspan_bt=uspan_bt,
+        bstart_bt=bstart_bt,
+        bend_bt=bend_bt,
+        pair_bt=pair_bt,
+        point_bt=point_bt,
+        mbs_size_static=mbs,
     )
 
 
@@ -144,12 +182,23 @@ def mbs_rank(dref: DeviceRef, chrom: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarr
     oracle.mbs_rank): number of included bases on `chrom` strictly before
     `pos`.  Pad lanes (chrom < 0) return mbs_size (the trash rank), so a
     padded block contributes +1/-1 at the same diff slot and provably cancels.
+
+    TPU-native path: bucketed rank + one aligned payload row gather + one-hot
+    in-row select (ops/bucket.py) — no per-lane gathers anywhere.
     """
-    mbs = dref.uspan_off[-1]  # sentinel slot == total size
-    j = searchsorted_lex((dref.uspan_chrom, dref.uspan_start), (chrom, pos), side="right") - 1
-    jc = jnp.clip(j, 0, dref.uspan_chrom.shape[0] - 1)
-    same = (j >= 0) & (jnp.take(dref.uspan_chrom, jc) == chrom)
-    within = jnp.clip(pos - jnp.take(dref.uspan_start, jc), 0, jnp.take(dref.uspan_len, jc))
-    base = jnp.take(dref.chrom_base, jnp.clip(chrom, 0, dref.chrom_base.shape[0] - 1))
-    rank = jnp.where(same, jnp.take(dref.uspan_off, jc) + within, base)
+    mbs = dref.uspan_off[-1]  # sentinel slot == total size (trace-safe)
+    j = dref.uspan_bt.rank((chrom, pos), side="right") - 1
+    pc, ps, pl, po = dref.uspan_bt.entry(j)
+    same = (j >= 0) & (pc == chrom)
+    within = jnp.clip(pos - ps, 0, pl)
+    # chrom -> MBS base offset, via dense one-hot select (tiny table; a
+    # per-lane gather here would reintroduce the slow pattern)
+    n_chroms = dref.chrom_base.shape[0]
+    sel = chrom[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, n_chroms), 1
+    )
+    base = jnp.sum(
+        jnp.where(sel, dref.chrom_base[None, :], 0), axis=1, dtype=jnp.int32
+    )
+    rank = jnp.where(same, po + within, base)
     return jnp.where(chrom >= 0, rank, mbs).astype(jnp.int32)

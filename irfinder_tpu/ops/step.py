@@ -4,107 +4,216 @@ The reference invoked four virtual processors serially per fragment
 (SURVEY.md §2 row 9, historical ReadBlockProcessor::ProcessBlocks [R]); here
 all of them are one XLA program over a whole PackedBatch:
 
-* CoverageBlocks  -> two scatter-adds per block into a depth *diff* array over
-  measured-base space (exclusion masking is pure rank arithmetic, see
+* CoverageBlocks  -> two +1/-1 updates per block into a depth *diff* region
+  over measured-base space (exclusion masking is pure rank arithmetic, see
   refio/compile.py); depth itself is recovered by one cumsum at finalize.
-* JunctionCount   -> lexicographic binary search of each splice gap against
-  the unique intron start / end / (start,end) tables + scatter-add.
-* SpansPoint      -> rank-range of each block against the boundary-point table
-  as another diff array (+1 at the first spanned point, -1 past the last).
-* FragmentsInROI / FragmentsInChr -> broadcast overlap / refid scatter.
+* JunctionCount   -> bucketed exact-match of each splice gap against the
+  unique intron start / end / (start,end) tables (ops/bucket.py).
+* SpansPoint      -> bucketed rank-range of each block against the boundary
+  point table, as another diff region (+1 first spanned point, -1 past last).
+* FragmentsInROI  -> dense broadcast interval overlap (ROI tables are tiny).
+* FragmentsInChr  -> refid tally.
 
-Everything is integer, every scatter is add-associative, and padding lanes are
-routed to a trash slot — so counters are invariant under batch order, batch
-size, and shard count (the determinism contract of SURVEY.md §5.8).
+TPU-native design decisions (validated by honest chained timings on v5e):
 
-Counters live in device memory across batches; the step donates its counter
-argument so XLA updates them in place (no HBM round-trip per batch).
+1. All searches are BucketTable ranks — dense compares + aligned row
+   gathers — instead of per-lane binary search (which cost ~260 ms/batch in
+   gather loops).
+2. All counters live in ONE flat int32 array ("cnt") and every processor's
+   updates are concatenated into a SINGLE scatter-add per batch (scatter has
+   a per-pass cost on TPU; one pass beats seven).  Sections of cnt are laid
+   out by `CounterLayout`; each section carries a trailing trash slot that
+   miss/pad lanes are routed to and finalize drops.
+3. The step donates cnt, so XLA updates it in place — no HBM round trip.
+
+Everything is integer and add-associative, so counters are invariant under
+batch order, batch size, and shard count (the determinism contract of
+SURVEY.md §5.8).
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
 
 from .. import semantics as S
 from .device_ref import DeviceRef, mbs_rank
-from .search import searchsorted_lex
+
+
+@dataclasses.dataclass(frozen=True)
+class CounterLayout:
+    """Static offsets of each counter section inside the flat cnt array.
+
+    Sections (all int32):
+      dd   (2, mbs+1)      depth diff over MBS, per strand     [cumsum later]
+      s    (2, S+1)        SpliceLeft  (intron 5' starts)
+      e    (2, E+1)        SpliceRight (intron 3' ends)
+      x    (2, X+1)        SpliceExact ((start,end) pairs)
+      p    (2, P+1)        spans diff over boundary points     [cumsum later]
+      roi  (2, R+1)        fragments per ROI, per strand
+      chr  (n_refids+1,)   fragments per BAM refid
+      nf   (1,)            admitted fragments
+    """
+
+    mbs: int
+    S: int
+    E: int
+    X: int
+    P: int
+    R: int
+    n_refids: int
+
+    @staticmethod
+    def build(dref: DeviceRef, n_refids: int) -> "CounterLayout":
+        sz = dref.sizes()
+        return CounterLayout(
+            mbs=dref.mbs_size,
+            S=sz["S"],
+            E=sz["E"],
+            X=sz["X"],
+            P=sz["P"],
+            R=sz["R"],
+            n_refids=n_refids,
+        )
+
+    # widths of one strand row per section
+    @property
+    def w_dd(self):
+        return self.mbs + 1
+
+    @property
+    def w_p(self):
+        return self.P + 1
+
+    @property
+    def off_dd(self):
+        return 0
+
+    @property
+    def off_s(self):
+        return self.off_dd + 2 * (self.mbs + 1)
+
+    @property
+    def off_e(self):
+        return self.off_s + 2 * (self.S + 1)
+
+    @property
+    def off_x(self):
+        return self.off_e + 2 * (self.E + 1)
+
+    @property
+    def off_p(self):
+        return self.off_x + 2 * (self.X + 1)
+
+    @property
+    def off_roi(self):
+        return self.off_p + 2 * (self.P + 1)
+
+    @property
+    def off_chr(self):
+        return self.off_roi + 2 * (self.R + 1)
+
+    @property
+    def off_nf(self):
+        return self.off_chr + self.n_refids + 1
+
+    @property
+    def total(self):
+        return self.off_nf + 1
+
+
+def layout_from_counters(dref: DeviceRef, counters: dict) -> CounterLayout:
+    """Recover the (static) layout from cnt's shape: every section size is
+    known from dref except n_refids, which the total length pins down."""
+    sz = dref.sizes()
+    fixed = (
+        2 * (dref.mbs_size + 1)
+        + 2 * (sz["S"] + 1)
+        + 2 * (sz["E"] + 1)
+        + 2 * (sz["X"] + 1)
+        + 2 * (sz["P"] + 1)
+        + 2 * (sz["R"] + 1)
+    )
+    n_refids = int(counters["cnt"].shape[-1]) - fixed - 2
+    return CounterLayout.build(dref, n_refids)
 
 
 def init_counters(dref: DeviceRef, n_refids: int) -> dict:
-    """Zero counters shaped by the device ref.  The +1 on every axis is the
-    trash slot (dropped at finalize)."""
-    sz = dref.sizes()
-    z = lambda *shape: jnp.zeros(shape, dtype=jnp.int32)
-    return {
-        "ddiff": z(2, dref.mbs_size + 1),
-        "start_cnt": z(2, sz["S"] + 1),
-        "end_cnt": z(2, sz["E"] + 1),
-        "exact_cnt": z(2, sz["X"] + 1),
-        "sdiff": z(2, sz["P"] + 1),
-        "roi_cnt": z(2, sz["R"] + 1),
-        "chr_frag": z(n_refids + 1),
-        "n_frags": jnp.zeros((), dtype=jnp.int32),
-    }
-
-
-def _match_index(chrom_col, *coord_cols, query_chrom, query_coords, trash):
-    """Exact-match lookup into a sentinel-padded sorted table: the matching
-    row index, or `trash` for misses / pad lanes."""
-    j = searchsorted_lex(
-        (chrom_col, *coord_cols), (query_chrom, *query_coords), side="left"
-    )
-    hit = jnp.take(chrom_col, j, mode="clip") == query_chrom
-    for col, q in zip(coord_cols, query_coords):
-        hit = hit & (jnp.take(col, j, mode="clip") == q)
-    return jnp.where(hit, j, trash)
+    lay = CounterLayout.build(dref, n_refids)
+    return {"cnt": jnp.zeros(lay.total, dtype=jnp.int32)}
 
 
 def count_step(dref: DeviceRef, counters: dict, batch: dict) -> dict:
-    """One PackedBatch through every counter.  Pure function; jit with
+    """One PackedBatch through every counter: bucketed searches, then ONE
+    fused scatter-add into the flat counter array.  Pure function; jit with
     donate_argnums=(1,) via make_count_step()."""
-    sz = dref.sizes()
+    lay = layout_from_counters(dref, counters)
+    cnt = counters["cnt"]
     one = jnp.int32(1)
 
-    # --- CoverageBlocks: depth diff over MBS ------------------------------
     blk_c, blk_s, blk_e = batch["blk_chrom"], batch["blk_start"], batch["blk_end"]
     blk_st = batch["blk_strand"]
-    lo = mbs_rank(dref, blk_c, blk_s)
-    hi = mbs_rank(dref, blk_c, blk_e)
-    ddiff = counters["ddiff"].at[blk_st, lo].add(one).at[blk_st, hi].add(-one)
+    B = blk_c.shape[0]
 
-    # --- JunctionCount: gap boundary / exact matching ----------------------
+    # --- CoverageBlocks: MBS rank of both block edges in one bucketed pass --
+    r2 = mbs_rank(
+        dref,
+        jnp.concatenate([blk_c, blk_c]),
+        jnp.concatenate([blk_s, blk_e]),
+    )
+    lo, hi = r2[:B], r2[B:]
+    dd_base = lay.off_dd + blk_st * lay.w_dd
+    idx_cov = jnp.concatenate([dd_base + lo, dd_base + hi])
+    val_cov = jnp.concatenate([jnp.ones(B, jnp.int32), jnp.full(B, -1, jnp.int32)])
+
+    # --- JunctionCount: bucketed exact-match of splice gaps -----------------
     gap_c, gap_s, gap_e = batch["gap_chrom"], batch["gap_start"], batch["gap_end"]
     gap_st = batch["gap_strand"]
-    si = _match_index(
-        dref.bstart_chrom, dref.bstart_coord,
-        query_chrom=gap_c, query_coords=(gap_s,), trash=sz["S"],
+    G = gap_c.shape[0]
+    si, hs = dref.bstart_bt.match((gap_c, gap_s))
+    ei, he = dref.bend_bt.match((gap_c, gap_e))
+    xi, hx = dref.pair_bt.match((gap_c, gap_s, gap_e))
+    si = jnp.where(hs, si, lay.S)
+    ei = jnp.where(he, ei, lay.E)
+    xi = jnp.where(hx, xi, lay.X)
+    idx_junc = jnp.concatenate(
+        [
+            lay.off_s + gap_st * (lay.S + 1) + si,
+            lay.off_e + gap_st * (lay.E + 1) + ei,
+            lay.off_x + gap_st * (lay.X + 1) + xi,
+        ]
     )
-    ei = _match_index(
-        dref.bend_chrom, dref.bend_coord,
-        query_chrom=gap_c, query_coords=(gap_e,), trash=sz["E"],
-    )
-    xi = _match_index(
-        dref.pair_chrom, dref.pair_start, dref.pair_end,
-        query_chrom=gap_c, query_coords=(gap_s, gap_e), trash=sz["X"],
-    )
-    start_cnt = counters["start_cnt"].at[gap_st, si].add(one)
-    end_cnt = counters["end_cnt"].at[gap_st, ei].add(one)
-    exact_cnt = counters["exact_cnt"].at[gap_st, xi].add(one)
+    val_junc = jnp.ones(3 * G, jnp.int32)
 
-    # --- SpansPoint: rank-range diff over the boundary-point table ---------
+    # --- SpansPoint: bucketed rank-range diff over boundary points ----------
     OH = jnp.int32(S.SPANS_OVERHANG)
-    keys = (dref.point_chrom, dref.point_coord)
-    plo = searchsorted_lex(keys, (blk_c, blk_s + OH), side="left")
-    phi = searchsorted_lex(keys, (blk_c, blk_e - OH), side="right")
+    plo = dref.point_bt.rank((blk_c, blk_s + OH), side="left")
+    phi = dref.point_bt.rank((blk_c, blk_e - OH), side="right")
     ok = (blk_c >= 0) & (blk_e - blk_s >= 2 * OH)
-    plo = jnp.where(ok, plo, sz["P"])
-    phi = jnp.where(ok, phi, sz["P"])
-    sdiff = counters["sdiff"].at[blk_st, plo].add(one).at[blk_st, phi].add(-one)
+    plo = jnp.where(ok, plo, lay.P)
+    phi = jnp.where(ok, phi, lay.P)
+    p_base = lay.off_p + blk_st * lay.w_p
+    idx_sp = jnp.concatenate([p_base + plo, p_base + phi])
+    val_sp = val_cov  # same (+1 x B, -1 x B) pattern
 
-    # --- FragmentsInROI: broadcast interval overlap -------------------------
+    # --- FragmentsInChr -----------------------------------------------------
+    f_rid = batch["frag_refid"]
+    rid = jnp.where(
+        (f_rid >= 0) & (f_rid < lay.n_refids), f_rid, lay.n_refids
+    )
+    idx_chr = lay.off_chr + rid
+    val_chr = jnp.ones(rid.shape[0], jnp.int32)
+
+    # --- ONE fused scatter over all processors ------------------------------
+    idx = jnp.concatenate([idx_cov, idx_junc, idx_sp, idx_chr])
+    val = jnp.concatenate([val_cov, val_junc, val_sp, val_chr])
+    cnt = cnt.at[idx].add(val)
+
+    # --- FragmentsInROI: dense broadcast overlap (tiny table) ---------------
     f_c, f_s, f_e = batch["frag_chrom"], batch["frag_start"], batch["frag_end"]
-    f_st, f_rid = batch["frag_strand"], batch["frag_refid"]
+    f_st = batch["frag_strand"]
     overlap = (
         (f_c[:, None] == dref.roi_chrom[None, :-1])
         & (dref.roi_start[None, :-1] < f_e[:, None])
@@ -112,24 +221,13 @@ def count_step(dref: DeviceRef, counters: dict, batch: dict) -> dict:
     )
     hits0 = jnp.sum(overlap & (f_st == 0)[:, None], axis=0, dtype=jnp.int32)
     hits1 = jnp.sum(overlap & (f_st == 1)[:, None], axis=0, dtype=jnp.int32)
-    roi_cnt = counters["roi_cnt"].at[0, : sz["R"]].add(hits0).at[1, : sz["R"]].add(hits1)
+    cnt = cnt.at[lay.off_roi : lay.off_roi + lay.R].add(hits0)
+    cnt = cnt.at[lay.off_roi + lay.R + 1 : lay.off_roi + 2 * lay.R + 1].add(hits1)
 
-    # --- FragmentsInChr + totals -------------------------------------------
-    n_refids = counters["chr_frag"].shape[0] - 1
-    rid = jnp.where((f_rid >= 0) & (f_rid < n_refids), f_rid, n_refids)
-    chr_frag = counters["chr_frag"].at[rid].add(one)
-    n_frags = counters["n_frags"] + jnp.sum(f_rid >= 0, dtype=jnp.int32)
+    # --- fragment total -----------------------------------------------------
+    cnt = cnt.at[lay.off_nf].add(jnp.sum(f_rid >= 0, dtype=jnp.int32))
 
-    return {
-        "ddiff": ddiff,
-        "start_cnt": start_cnt,
-        "end_cnt": end_cnt,
-        "exact_cnt": exact_cnt,
-        "sdiff": sdiff,
-        "roi_cnt": roi_cnt,
-        "chr_frag": chr_frag,
-        "n_frags": n_frags,
-    }
+    return {"cnt": cnt}
 
 
 def make_count_step():
@@ -137,18 +235,24 @@ def make_count_step():
     return jax.jit(count_step, donate_argnums=(1,))
 
 
-def finalize_device(counters: dict) -> dict:
-    """Diff arrays -> dense counters (one cumsum each), trash slots dropped.
-    Jittable; cheap enough to run once at end-of-stream."""
-    depth = jnp.cumsum(counters["ddiff"], axis=1)[:, :-1]
-    span_hits = jnp.cumsum(counters["sdiff"], axis=1)[:, :-1]
+def finalize_device(dref: DeviceRef, counters: dict) -> dict:
+    """Flat cnt -> named dense counters (diff regions cumsummed, trash slots
+    dropped).  Jittable; runs once at end-of-stream."""
+    lay = layout_from_counters(dref, counters)
+    cnt = counters["cnt"]
+
+    def sect2(off, w):
+        return cnt[off : off + 2 * w].reshape(2, w)
+
+    depth = jnp.cumsum(sect2(lay.off_dd, lay.mbs + 1), axis=1)[:, :-1]
+    span_hits = jnp.cumsum(sect2(lay.off_p, lay.P + 1), axis=1)[:, :-1]
     return {
         "depth": depth,
-        "start_cnt": counters["start_cnt"][:, :-1],
-        "end_cnt": counters["end_cnt"][:, :-1],
-        "exact_cnt": counters["exact_cnt"][:, :-1],
+        "start_cnt": sect2(lay.off_s, lay.S + 1)[:, :-1],
+        "end_cnt": sect2(lay.off_e, lay.E + 1)[:, :-1],
+        "exact_cnt": sect2(lay.off_x, lay.X + 1)[:, :-1],
         "span_hits": span_hits,
-        "roi_cnt": counters["roi_cnt"][:, :-1],
-        "chr_frag": counters["chr_frag"][:-1],
-        "n_frags": counters["n_frags"],
+        "roi_cnt": sect2(lay.off_roi, lay.R + 1)[:, :-1],
+        "chr_frag": cnt[lay.off_chr : lay.off_chr + lay.n_refids],
+        "n_frags": cnt[lay.off_nf],
     }

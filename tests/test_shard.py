@@ -47,7 +47,7 @@ def test_dp8_matches_single_device(ref):
     for b in batches:
         counters = step(dref, counters, place_batch(b.device_arrays()))
     merged = merge_stacked(counters)
-    got = {k: np.asarray(v) for k, v in jax.jit(finalize_device)(merged).items()}
+    got = {k: np.asarray(v) for k, v in jax.jit(finalize_device)(dref, merged).items()}
 
     for k in want:
         np.testing.assert_array_equal(got[k], want[k], err_msg=k)
