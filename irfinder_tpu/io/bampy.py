@@ -27,7 +27,7 @@ import numpy as np
 
 from .. import semantics as S
 from . import bgzf
-from .batch import PackedBatch
+from .batch import BLOCKS_PER_FRAG, GAPS_PER_FRAG, PackedBatch
 
 
 @dataclasses.dataclass
@@ -167,8 +167,8 @@ class BatchBuilder:
     def __init__(self, chrom_of_refid: np.ndarray, cap_frags: int = 1 << 15):
         # sized so typical paired fragments (<=2 blocks+<=1 gap per mate) fit
         self.cap_frags = cap_frags
-        self.cap_blocks = cap_frags * 6
-        self.cap_gaps = cap_frags * 4
+        self.cap_blocks = cap_frags * BLOCKS_PER_FRAG
+        self.cap_gaps = cap_frags * GAPS_PER_FRAG
         self.chrom_of_refid = chrom_of_refid  # int32 LUT, -1 = not in ref
         self.reset()
 

@@ -19,6 +19,13 @@ import dataclasses
 
 import numpy as np
 
+#: Batch column capacities as multiples of cap_frags.  A paired-end
+#: fragment is typically 2 blocks (one per mate) and <1 splice gap; both
+#: decoders emit a batch early when any column fills, so these ratios only
+#: trade padding waste (device work on dead lanes) against batch count.
+BLOCKS_PER_FRAG = 3
+GAPS_PER_FRAG = 1
+
 
 @dataclasses.dataclass
 class PackedBatch:

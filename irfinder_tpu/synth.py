@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .io.batch import BLOCKS_PER_FRAG, GAPS_PER_FRAG
+
 from .refio.compile import CompiledRef, compile_reference
 from .refio.gtf import Exon
 
@@ -70,7 +72,8 @@ def synth_batch_arrays(
     random genomic positions."""
     rng = np.random.default_rng(seed)
     n_introns = ref.n_introns
-    cap_blocks, cap_gaps = n_frags * 6, n_frags * 4
+    cap_blocks = n_frags * BLOCKS_PER_FRAG
+    cap_gaps = n_frags * GAPS_PER_FRAG
 
     frag_chrom = ref.intron_chrom[rng.integers(0, n_introns, n_frags)].astype(np.int32)
     # anchor positions near random introns so counters actually hit

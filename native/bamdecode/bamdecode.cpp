@@ -76,8 +76,8 @@ struct BatchBuf {
 
   void init(int64_t cap) {
     cap_frags = cap;
-    cap_blocks = cap * 6;
-    cap_gaps = cap * 4;
+    cap_blocks = cap * 3;  // io/batch.py BLOCKS_PER_FRAG
+    cap_gaps = cap * 1;   // io/batch.py GAPS_PER_FRAG
     blk_chrom.assign(cap_blocks, -1);
     blk_start.assign(cap_blocks, 0);
     blk_end.assign(cap_blocks, 0);
