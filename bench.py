@@ -21,6 +21,11 @@ import numpy as np
 def main() -> None:
     import jax
 
+    # persistent compile cache: first-compile on the tunneled TPU is slow
+    # (tens of seconds); cache across bench runs
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from irfinder_tpu.ops.device_ref import build_device_ref
     from irfinder_tpu.ops.step import init_counters, make_count_step
     from irfinder_tpu.synth import synth_batch_arrays, synth_ref
@@ -41,16 +46,24 @@ def main() -> None:
         total_reads += n_reads
 
     counters = init_counters(dref, n_refids=len(ref.chroms))
+
+    def sync(c):
+        # block_until_ready is NOT a reliable completion barrier through the
+        # axon tunnel (observed returning before execution); a real D2H read
+        # of one element cannot lie.  Steps are data-chained through the
+        # donated counters, so one end-of-run sync bounds the whole stream.
+        return np.asarray(c["cnt"][0:1])
+
     # warmup / compile
     counters = step(dref, counters, batches[0])
-    jax.block_until_ready(counters)
+    sync(counters)
 
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         for b in batches:
             counters = step(dref, counters, b)
-        jax.block_until_ready(counters)
+        sync(counters)
         best = min(best, time.perf_counter() - t0)
     reads_per_s = total_reads / best
 

@@ -69,6 +69,41 @@ def cmd_bam(args) -> int:
     return 0
 
 
+def cmd_batch(args) -> int:
+    """Multi-sample batch mode (BASELINE config D): N BAMs streamed
+    concurrently through one engine; optional pooled differential between two
+    sample-index groups."""
+    import os
+
+    from .engine import run_multi_bam
+    from .refio.compile import CompiledRef
+
+    ref = CompiledRef.load(args.ref)
+    names = [
+        os.path.splitext(os.path.basename(b))[0] for b in args.bams
+    ]
+    # de-duplicate repeated basenames
+    seen: dict = {}
+    for i, n in enumerate(names):
+        if n in seen:
+            names[i] = f"{n}.{i}"
+        seen[n] = i
+    out_dirs = [os.path.join(args.out, n) for n in names]
+    metrics = run_multi_bam(ref, args.bams, out_dirs, use_native=not args.no_native)
+    print(json.dumps({n: m.as_dict() for n, m in zip(names, metrics)}, indent=1))
+    if args.a and args.b:
+        from .diff import run_differential
+
+        sel = lambda idxs: [out_dirs[int(i)] for i in idxs.split(",")]
+        return run_differential(
+            cond_a=sel(args.a),
+            cond_b=sel(args.b),
+            out_path=os.path.join(args.out, "IRFinder-Diff.txt"),
+            min_cov=None,
+        )
+    return 0
+
+
 def cmd_fastq(_args) -> int:
     sys.stderr.write(
         "FastQ mode: alignment is external to the TPU engine. Align with "
@@ -102,6 +137,15 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("-d", "--out", required=True, help="output directory")
     c.add_argument("bam", help="input BAM in aligner output order")
     c.set_defaults(fn=cmd_bam)
+
+    g = sub.add_parser("Batch", help="multi-sample batch mode (N concurrent BAMs)")
+    g.add_argument("-r", "--ref", required=True, help="reference directory from BuildRef")
+    g.add_argument("-d", "--out", required=True, help="output root (one subdir per sample)")
+    g.add_argument("bams", nargs="+", help="input BAMs in aligner output order")
+    g.add_argument("--a", help="comma-separated sample indices of condition A (differential)")
+    g.add_argument("--b", help="comma-separated sample indices of condition B")
+    g.add_argument("--no-native", action="store_true", help="force the Python decoder")
+    g.set_defaults(fn=cmd_batch)
 
     f = sub.add_parser("FastQ", help="(external alignment) guidance only")
     f.set_defaults(fn=cmd_fastq)

@@ -52,37 +52,66 @@ class RunMetrics:
         return dataclasses.asdict(self)
 
 
+@dataclasses.dataclass
+class SampleState:
+    """Per-sample accumulation state.  Many states can share one Engine (one
+    DeviceRef + one compiled step) — the multi-sample batch mode (SURVEY.md
+    §2 row 19, BASELINE config D) streams N BAMs concurrently, each into its
+    own SampleState."""
+
+    counters: dict
+    junc_tally: dict = dataclasses.field(default_factory=dict)
+    metrics: RunMetrics = dataclasses.field(default_factory=RunMetrics)
+    n_refids: int = 0
+
+
 class Engine:
-    """One reference map + device counter state; reusable across samples via
-    reset().  Counting is add-associative, so results are invariant to batch
-    size and processing order (tested in tests/test_engine.py)."""
+    """One reference map + compiled counting step; per-sample state lives in
+    SampleState (reset() re-creates the default one).  Counting is
+    add-associative, so results are invariant to batch size and processing
+    order (tested in tests/test_engine.py)."""
 
     def __init__(self, ref: CompiledRef, cap_frags: int = 1 << 15):
         self.ref = ref
         self.cap_frags = cap_frags
         self.dref: DeviceRef = build_device_ref(ref)
         self._step = make_count_step()
-        self.counters = None
-        self.junc_tally: dict = {}
-        self.metrics = RunMetrics()
-        self._n_refids = 0
+        self._finalize = jax.jit(finalize_device)
+        self._st: SampleState | None = None
 
     # -- lifecycle -----------------------------------------------------------
+    def new_state(self, n_refids: int) -> SampleState:
+        return SampleState(
+            counters=init_counters(self.dref, n_refids), n_refids=n_refids
+        )
+
     def reset(self, n_refids: int) -> None:
-        self._n_refids = n_refids
-        self.counters = init_counters(self.dref, n_refids)
-        self.junc_tally = {}
-        self.metrics = RunMetrics()
+        self._st = self.new_state(n_refids)
+
+    # single-sample conveniences over the default state
+    @property
+    def counters(self):
+        return self._st.counters
+
+    @property
+    def junc_tally(self) -> dict:
+        return self._st.junc_tally
+
+    @property
+    def metrics(self) -> RunMetrics:
+        return self._st.metrics
 
     # -- accumulation --------------------------------------------------------
-    def process_batch(self, batch: PackedBatch) -> None:
+    def process_batch(self, batch: PackedBatch, st: SampleState | None = None) -> None:
+        st = st or self._st
         t0 = time.perf_counter()
-        self.counters = self._step(self.dref, self.counters, batch.device_arrays())
-        self.metrics.device_s += time.perf_counter() - t0
-        self.metrics.batches += 1
-        self._tally_junctions(batch)
+        st.counters = self._step(self.dref, st.counters, batch.device_arrays())
+        st.metrics.device_s += time.perf_counter() - t0
+        st.metrics.batches += 1
+        self._tally_junctions(st, batch)
 
-    def _tally_junctions(self, b: PackedBatch) -> None:
+    @staticmethod
+    def _tally_junctions(st: SampleState, b: PackedBatch) -> None:
         """Host-side sparse junction map for IRFinder-JuncCount.txt."""
         n = b.n_gaps
         if n == 0:
@@ -94,31 +123,33 @@ class Engine:
         if keys.size == 0:
             return
         uniq, counts = np.unique(keys, axis=0, return_counts=True)
-        for (c, s, e, st), k in zip(uniq, counts):
-            slot = self.junc_tally.setdefault((int(c), int(s), int(e)), [0, 0])
-            slot[int(st)] += int(k)
+        for (c, s, e, strand), k in zip(uniq, counts):
+            slot = st.junc_tally.setdefault((int(c), int(s), int(e)), [0, 0])
+            slot[int(strand)] += int(k)
 
-    def run_stream(self, batches: Iterable[PackedBatch]) -> None:
+    def run_stream(self, batches: Iterable[PackedBatch], st: SampleState | None = None) -> None:
         for b in batches:
-            self.process_batch(b)
+            self.process_batch(b, st)
 
     # -- finalize ------------------------------------------------------------
-    def counters_host(self) -> dict:
+    def counters_host(self, st: SampleState | None = None) -> dict:
         """Finalize diff arrays on device, pull everything to host NumPy."""
+        st = st or self._st
         t0 = time.perf_counter()
-        fin = jax.jit(finalize_device)(self.dref, self.counters)
+        fin = self._finalize(self.dref, st.counters)
         out = {k: np.asarray(v) for k, v in fin.items()}
-        self.metrics.finalize_s += time.perf_counter() - t0
+        st.metrics.finalize_s += time.perf_counter() - t0
         return out
 
-    def results(self, fc: dict | None = None) -> dict:
+    def results(self, fc: dict | None = None, st: SampleState | None = None) -> dict:
         """Full result bundle: nondir rows, directionality call, dir rows."""
-        fc = fc if fc is not None else self.counters_host()
+        st = st or self._st
+        fc = fc if fc is not None else self.counters_host(st)
         stranded, flip, frac, n_inf = detect_directionality(self.ref, fc["exact_cnt"])
-        self.metrics.is_stranded = bool(stranded)
-        self.metrics.flip_strand = bool(flip)
-        self.metrics.dir_concordance = float(frac)
-        self.metrics.dir_informative = int(n_inf)
+        st.metrics.is_stranded = bool(stranded)
+        st.metrics.flip_strand = bool(flip)
+        st.metrics.dir_concordance = float(frac)
+        st.metrics.dir_informative = int(n_inf)
         args = (
             self.ref,
             fc["depth"],
@@ -183,21 +214,76 @@ def run_bam(
     return engine.metrics
 
 
+def run_multi_bam(
+    ref: CompiledRef,
+    bams: "list[str]",
+    out_dirs: "list[str]",
+    cap_frags: int = 1 << 15,
+    use_native: bool = True,
+) -> "list[RunMetrics]":
+    """Multi-sample batch mode (SURVEY.md §2 rows 19/21, BASELINE config D):
+    stream N BAMs concurrently through ONE Engine (one device ref, one
+    compiled step), each sample accumulating into its own SampleState.
+
+    Batches are pulled round-robin across the still-active decoders, so the
+    native decoders' worker threads inflate/parse sample i+1 while the device
+    counts sample i — multi-sample pipeline parallelism without any extra
+    device memory beyond N counter vectors (counters are O(#introns), tiny).
+    """
+    if len(bams) != len(out_dirs):
+        raise ValueError("bams and out_dirs must pair up")
+    engine = Engine(ref, cap_frags=cap_frags)
+    t0 = time.perf_counter()
+    streams = []
+    for path in bams:
+        header, batches, stats = open_decoder(ref, path, cap_frags, use_native)
+        st = engine.new_state(n_refids=len(header.ref_names))
+        streams.append({"it": iter(batches), "st": st, "hdr": header, "stats": stats})
+
+    active = list(range(len(streams)))
+    while active:
+        nxt = []
+        for i in active:
+            s = streams[i]
+            try:
+                b = next(s["it"])
+            except StopIteration:
+                continue
+            engine.process_batch(b, s["st"])
+            nxt.append(i)
+        active = nxt
+
+    out_metrics = []
+    wall = time.perf_counter() - t0
+    for s, out_dir in zip(streams, out_dirs):
+        st = s["st"]
+        res = engine.results(st=st)
+        st.metrics.reads_total = s["stats"].reads_total
+        st.metrics.reads_admitted = s["stats"].reads_admitted
+        st.metrics.fragments = s["stats"].fragments
+        st.metrics.decode_s = wall - st.metrics.device_s
+        write_outputs(out_dir, ref, s["hdr"], engine, res, st=st)
+        out_metrics.append(st.metrics)
+    return out_metrics
+
+
 def write_outputs(
     out_dir: str,
     ref: CompiledRef,
     header: BamHeader,
     engine: Engine,
     res: dict,
+    st: SampleState | None = None,
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
+    st = st or engine._st
     fc = res["counters"]
     with open(os.path.join(out_dir, "IRFinder-IR-nondir.txt"), "w") as fh:
         fmt.write_ir_table(fh, res["rows_nondir"])
     with open(os.path.join(out_dir, "IRFinder-IR-dir.txt"), "w") as fh:
         fmt.write_ir_table(fh, res["rows_dir"])
     with open(os.path.join(out_dir, "IRFinder-JuncCount.txt"), "w") as fh:
-        fmt.write_junc_count(fh, ref.chroms, engine.junc_tally)
+        fmt.write_junc_count(fh, ref.chroms, st.junc_tally)
     with open(os.path.join(out_dir, "IRFinder-SpansPoint.txt"), "w") as fh:
         fmt.write_spans_point(fh, ref, fc["span_hits"])
     with open(os.path.join(out_dir, "IRFinder-ROI.txt"), "w") as fh:
@@ -207,8 +293,8 @@ def write_outputs(
     from .qc import qc_warnings, write_warnings
 
     with open(os.path.join(out_dir, "WARNINGS"), "w") as fh:
-        write_warnings(fh, qc_warnings(ref, fc, engine.metrics))
+        write_warnings(fh, qc_warnings(ref, fc, st.metrics))
     import json
 
     with open(os.path.join(out_dir, "metrics.json"), "w") as fh:
-        json.dump(engine.metrics.as_dict(), fh, indent=1)
+        json.dump(st.metrics.as_dict(), fh, indent=1)
