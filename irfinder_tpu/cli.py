@@ -64,7 +64,13 @@ def cmd_bam(args) -> int:
     from .refio.compile import CompiledRef
 
     ref = CompiledRef.load(args.ref)
-    metrics = run_bam(ref, args.bam, args.out)
+    metrics = run_bam(
+        ref,
+        args.bam,
+        args.out,
+        checkpoint=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+    )
     print(json.dumps(metrics.as_dict(), indent=1))
     return 0
 
@@ -136,6 +142,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("-r", "--ref", required=True, help="reference directory from BuildRef")
     c.add_argument("-d", "--out", required=True, help="output directory")
     c.add_argument("bam", help="input BAM in aligner output order")
+    c.add_argument("--checkpoint", help="snapshot file for resumable runs")
+    c.add_argument(
+        "--checkpoint-every", type=int, default=64, help="batches between snapshots"
+    )
     c.set_defaults(fn=cmd_bam)
 
     g = sub.add_parser("Batch", help="multi-sample batch mode (N concurrent BAMs)")

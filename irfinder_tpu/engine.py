@@ -196,21 +196,50 @@ def run_bam(
     out_dir: str,
     cap_frags: int = 1 << 15,
     use_native: bool = True,
+    checkpoint: str | None = None,
+    checkpoint_every: int = 64,
 ) -> RunMetrics:
     """The `-m BAM` counting path (SURVEY.md §3.3): count one aligner-ordered
     BAM (path or file object) against a compiled reference and write the full
-    output table set."""
+    output table set.
+
+    With `checkpoint`, the accumulation state is snapshotted every
+    `checkpoint_every` batches and a pre-existing snapshot is resumed from
+    (skipping already-counted batches; see irfinder_tpu/checkpoint.py).  The
+    snapshot is removed after a successful run."""
     engine = Engine(ref, cap_frags=cap_frags)
     t0 = time.perf_counter()
     header, batches, stats = open_decoder(ref, bam, cap_frags, use_native)
-    engine.reset(n_refids=len(header.ref_names))
-    engine.run_stream(batches)
+    skip = 0
+    if checkpoint:
+        from .checkpoint import load_checkpoint, restore_state, save_checkpoint
+
+        ck = load_checkpoint(checkpoint)
+        if ck is not None:
+            engine._st = restore_state(engine, ck)
+            skip = engine._st.metrics.batches
+        else:
+            engine.reset(n_refids=len(header.ref_names))
+        done = 0
+        for b in batches:
+            if done < skip:
+                done += 1
+                continue
+            engine.process_batch(b)
+            done += 1
+            if (done - skip) % checkpoint_every == 0:
+                save_checkpoint(checkpoint, engine._st)
+    else:
+        engine.reset(n_refids=len(header.ref_names))
+        engine.run_stream(batches)
     engine.metrics.decode_s = time.perf_counter() - t0 - engine.metrics.device_s
     res = engine.results()
     engine.metrics.reads_total = stats.reads_total
     engine.metrics.reads_admitted = stats.reads_admitted
     engine.metrics.fragments = stats.fragments
     write_outputs(out_dir, ref, header, engine, res)
+    if checkpoint and os.path.exists(checkpoint):
+        os.remove(checkpoint)
     return engine.metrics
 
 
