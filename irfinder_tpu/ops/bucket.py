@@ -90,9 +90,31 @@ class BucketTable:
         payload_cols=(),
         bucket: int = 128,
         top_max: int = 1024,
+        pad_to: int | None = None,
     ) -> "BucketTable":
+        """pad_to: pre-pad the key/payload columns with sentinels to this
+        length first — lets tables of different real sizes share one static
+        shape (genome-sharded stacking, parallel/genome.py).  Sentinels are
+        lex-+inf, so ranks over real keys are unaffected; note `n` then
+        reflects the padded count (exact-match queries can never hit a
+        sentinel row because no query carries PAD_KEY)."""
         key_cols = [np.asarray(c, dtype=np.int32) for c in key_cols]
         payload_cols = [np.asarray(c, dtype=np.int32) for c in payload_cols]
+        if pad_to is not None:
+            extra = pad_to - int(key_cols[0].shape[0])
+            if extra < 0:
+                raise ValueError("pad_to smaller than table")
+            if extra:
+                key_cols = [
+                    np.concatenate(
+                        [c, np.full(extra, PAD_KEY if i == 0 else 0, np.int32)]
+                    )
+                    for i, c in enumerate(key_cols)
+                ]
+                payload_cols = [
+                    np.concatenate([c, np.zeros(extra, np.int32)])
+                    for c in payload_cols
+                ]
         n = int(key_cols[0].shape[0])
         S = bucket
         # pad with at least one sentinel so the last bucket at every level

@@ -115,37 +115,72 @@ import jax.tree_util  # noqa: E402
 jax.tree_util.register_pytree_node(DeviceRef, _tree_flatten, _tree_unflatten)
 
 
-def build_device_ref(ref: CompiledRef) -> DeviceRef:
-    """Host CompiledRef -> device tensors (one H2D put per table)."""
+def _pad_rows(cols, target):
+    """Pad raw table columns to `target` rows with sentinel rows
+    (PAD_CHROM, 0, ...).  Sentinel rows sort last and never match queries."""
+    n = int(cols[0].shape[0])
+    extra = target - n
+    if extra < 0:
+        raise ValueError("pad target smaller than table")
+    if extra == 0:
+        return list(cols)
+    out = [np.concatenate([cols[0], np.full(extra, PAD_CHROM, np.int32)])]
+    for c in cols[1:]:
+        out.append(np.concatenate([c, np.zeros(extra, np.int32)]).astype(np.int32))
+    return out
+
+
+def build_device_ref(ref: CompiledRef, pads: dict | None = None) -> DeviceRef:
+    """Host CompiledRef -> device tensors (one H2D put per table).
+
+    pads: optional uniform table sizes {uspan,bstart,bend,pair,point,roi,mbs}
+    so refs of different real sizes share one static shape — required for
+    stacking genome shards under one shard_map program (parallel/genome.py).
+    Extra rows are lex-+inf sentinels; ranks/matches over real keys are
+    unaffected, and dref.uspan_off[-1] still holds the REAL mbs (the trash
+    rank), while mbs_size_static (and thus the counter layout) uses the
+    padded value."""
     u_chrom = _chrom_col(ref.uspan_seg)
     u_len = (ref.uspan_end - ref.uspan_start).astype(np.int32)
     u_off = ref.uspan_mbs_off[:-1].astype(np.int32) if ref.uspan_start.size else np.zeros(0, np.int32)
     mbs = int(ref.uspan_mbs_off[-1]) if ref.uspan_mbs_off.size else 0
-    uc, us, ul, uo = _pad_sentinel(u_chrom, ref.uspan_start, u_len, u_off)
-    uo[-1] = mbs  # sentinel offset = total MBS size (also the trash rank)
     chrom_base = ref.uspan_mbs_off[ref.uspan_seg[:-1]].astype(np.int32)
 
-    bs = _pad_sentinel(_chrom_col(ref.bstart_seg), ref.bstart_coord)
-    be = _pad_sentinel(_chrom_col(ref.bend_seg), ref.bend_coord)
-    pr = _pad_sentinel(_chrom_col(ref.upair_seg), ref.upair_start, ref.upair_end)
-    pt = _pad_sentinel(_chrom_col(ref.point_seg), ref.point_coord)
-    ro = _pad_sentinel(_chrom_col(ref.roi_seg), ref.roi_start, ref.roi_end)
-
-    # bucketed search tables over the UNPADDED columns (BucketTable manages
-    # its own sentinel padding)
+    u_start = ref.uspan_start
     bs_c, bs_v = _chrom_col(ref.bstart_seg), ref.bstart_coord
     be_c, be_v = _chrom_col(ref.bend_seg), ref.bend_coord
-    pr_c = _chrom_col(ref.upair_seg)
+    pr_c, pr_s, pr_e = _chrom_col(ref.upair_seg), ref.upair_start, ref.upair_end
     pt_c, pt_v = _chrom_col(ref.point_seg), ref.point_coord
+    ro_c, ro_s, ro_e = _chrom_col(ref.roi_seg), ref.roi_start, ref.roi_end
+    mbs_static = mbs
+    if pads:
+        u_chrom, u_start, u_len, u_off = _pad_rows(
+            (u_chrom, u_start, u_len, u_off), pads["uspan"]
+        )
+        bs_c, bs_v = _pad_rows((bs_c, bs_v), pads["bstart"])
+        be_c, be_v = _pad_rows((be_c, be_v), pads["bend"])
+        pr_c, pr_s, pr_e = _pad_rows((pr_c, pr_s, pr_e), pads["pair"])
+        pt_c, pt_v = _pad_rows((pt_c, pt_v), pads["point"])
+        ro_c, ro_s, ro_e = _pad_rows((ro_c, ro_s, ro_e), pads["roi"])
+        mbs_static = pads["mbs"]
+
+    uc, us, ul, uo = _pad_sentinel(u_chrom, u_start, u_len, u_off)
+    uo[-1] = mbs  # sentinel offset = REAL MBS size (also the trash rank)
+    bs = _pad_sentinel(bs_c, bs_v)
+    be = _pad_sentinel(be_c, be_v)
+    pr = _pad_sentinel(pr_c, pr_s, pr_e)
+    pt = _pad_sentinel(pt_c, pt_v)
+    ro = _pad_sentinel(ro_c, ro_s, ro_e)
+
     uspan_bt = BucketTable.build(
-        (u_chrom, ref.uspan_start),
-        payload_cols=(u_chrom, ref.uspan_start, u_len, u_off),
+        (u_chrom, u_start),
+        payload_cols=(u_chrom, u_start, u_len, u_off),
     )
     bstart_bt = BucketTable.build((bs_c, bs_v), payload_cols=(bs_c, bs_v))
     bend_bt = BucketTable.build((be_c, be_v), payload_cols=(be_c, be_v))
     pair_bt = BucketTable.build(
-        (pr_c, ref.upair_start, ref.upair_end),
-        payload_cols=(pr_c, ref.upair_start, ref.upair_end),
+        (pr_c, pr_s, pr_e),
+        payload_cols=(pr_c, pr_s, pr_e),
     )
     point_bt = BucketTable.build((pt_c, pt_v))
 
@@ -173,7 +208,7 @@ def build_device_ref(ref: CompiledRef) -> DeviceRef:
         bend_bt=bend_bt,
         pair_bt=pair_bt,
         point_bt=point_bt,
-        mbs_size_static=mbs,
+        mbs_size_static=mbs_static,
     )
 
 

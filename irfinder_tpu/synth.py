@@ -23,15 +23,23 @@ def synth_exons(
     chrom_len: int = 46_000_000,
     seed: int = 0,
     introns_per_gene: int = 8,
+    n_chroms: int = 1,
 ):
-    """A deterministic gene forest: `n_genes` genes tiled over the chromosome,
-    each with introns_per_gene+1 exons and 2 transcripts (one skips an exon,
-    creating nested unique introns like real annotation)."""
+    """A deterministic gene forest: `n_genes` genes tiled over the
+    chromosome(s), each with introns_per_gene+1 exons and 2 transcripts (one
+    skips an exon, creating nested unique introns like real annotation).
+    n_chroms > 1 splits the genes round-robin over chrom.0..chrom.{k-1}
+    (multi-chromosome maps for genome-shard tests)."""
     rng = np.random.default_rng(seed)
     exons = []
-    span = chrom_len // (n_genes + 1)
+    per = chrom_len // (n_genes // max(1, n_chroms) + 2)
+    span = chrom_len // (n_genes + 1) if n_chroms == 1 else per
     for g in range(n_genes):
-        base = span // 2 + g * span
+        if n_chroms == 1:
+            chrom_g, base = chrom, span // 2 + g * span
+        else:
+            chrom_g = f"{chrom}.{g % n_chroms}"
+            base = span // 2 + (g // n_chroms) * span
         strand = "+" if rng.integers(0, 2) else "-"
         gid = f"G{g:05d}"
         pos = base
@@ -42,12 +50,12 @@ def synth_exons(
             coords.append((pos, pos + elen))
             pos += elen + ilen
         for (s, e) in coords:
-            exons.append(Exon(chrom, s, e, strand, gid, gid, f"{gid}.t1"))
+            exons.append(Exon(chrom_g, s, e, strand, gid, gid, f"{gid}.t1"))
         # transcript 2 skips one middle exon -> an exon-spanning unique intron
         skip = int(rng.integers(1, len(coords) - 1))
         for k, (s, e) in enumerate(coords):
             if k != skip:
-                exons.append(Exon(chrom, s, e, strand, gid, gid, f"{gid}.t2"))
+                exons.append(Exon(chrom_g, s, e, strand, gid, gid, f"{gid}.t2"))
     return exons
 
 
