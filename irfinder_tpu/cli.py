@@ -64,15 +64,66 @@ def cmd_bam(args) -> int:
     from .refio.compile import CompiledRef
 
     ref = CompiledRef.load(args.ref)
-    metrics = run_bam(
+    run = lambda: run_bam(
         ref,
         args.bam,
         args.out,
         checkpoint=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
     )
+    if args.profile:
+        # SURVEY.md §5.1: device+host trace around the whole counting loop;
+        # per-stage wall times (decode/device/finalize) land in metrics.json
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            metrics = run()
+    else:
+        metrics = run()
     print(json.dumps(metrics.as_dict(), indent=1))
     return 0
+
+
+def cmd_mapability(args) -> int:
+    """Mappability exclusion generation halves around the external aligner
+    (SURVEY.md §2 row 4; reference spelling kept)."""
+    from .refio.mapgen import (
+        collect_exclusions,
+        read_fasta,
+        write_bed,
+        write_tile_fastq,
+    )
+
+    from . import semantics as S
+
+    read_len = args.read_len or S.MAPGEN_READ_LEN
+    stride = args.stride or S.MAPGEN_STRIDE
+    seqs = read_fasta(args.fasta)
+    if args.action == "generate":
+        with open(args.out, "wb") as fh:
+            n = write_tile_fastq(seqs, fh, read_len, stride)
+        print(f"Mapability: {n} synthetic tile reads -> {args.out}")
+        return 0
+    # collect
+    lengths = {c: len(s) for c, s in seqs.items()}
+    rows = collect_exclusions(args.bam, lengths, read_len, stride)
+    with open(args.out, "w") as fh:
+        write_bed(rows, fh)
+    print(f"Mapability: {len(rows)} exclusion intervals -> {args.out}")
+    return 0
+
+
+def cmd_buildref_download(_args) -> int:
+    sys.stderr.write(
+        "BuildRefDownload: this environment has no network egress; fetch the\n"
+        "inputs yourself and run BuildRef:\n"
+        "  1. Ensembl GTF:  https://ftp.ensembl.org/pub/release-*/gtf/<species>/\n"
+        "  2. (optional) rRNA/Mt ROI BED and a mappability exclusion BED\n"
+        "     (Mapability generate/collect around your aligner)\n"
+        "  3. python -m irfinder_tpu.cli BuildRef -g ann.gtf -r REF \\\n"
+        "        [--roi roi.bed] [--exclude exclude.bed]\n"
+    )
+    return 2
 
 
 def cmd_batch(args) -> int:
@@ -142,11 +193,24 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("-r", "--ref", required=True, help="reference directory from BuildRef")
     c.add_argument("-d", "--out", required=True, help="output directory")
     c.add_argument("bam", help="input BAM in aligner output order")
+    c.add_argument("--profile", help="write a jax.profiler trace to this directory")
     c.add_argument("--checkpoint", help="snapshot file for resumable runs")
     c.add_argument(
         "--checkpoint-every", type=int, default=64, help="batches between snapshots"
     )
     c.set_defaults(fn=cmd_bam)
+
+    m = sub.add_parser("Mapability", help="mappability exclusion generation")
+    m.add_argument("action", choices=["generate", "collect"])
+    m.add_argument("-f", "--fasta", required=True, help="genome FASTA (.fa or .fa.gz)")
+    m.add_argument("-b", "--bam", help="aligned tile-read BAM (collect)")
+    m.add_argument("-o", "--out", required=True, help="output FASTQ (generate) / BED (collect)")
+    m.add_argument("--read-len", type=int, default=None)
+    m.add_argument("--stride", type=int, default=None)
+    m.set_defaults(fn=cmd_mapability)
+
+    dl = sub.add_parser("BuildRefDownload", help="(no egress) documented inputs")
+    dl.set_defaults(fn=cmd_buildref_download)
 
     g = sub.add_parser("Batch", help="multi-sample batch mode (N concurrent BAMs)")
     g.add_argument("-r", "--ref", required=True, help="reference directory from BuildRef")

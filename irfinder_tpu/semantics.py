@@ -271,3 +271,12 @@ class IntronRow:
             self.splice_right,
             self.splice_exact,
         )
+
+
+# ---------------------------------------------------------------------------
+# Mappability exclusion generation (SURVEY.md §2 row 4).  The reference tiled
+# the genome with synthetic error-free reads, remapped them with STAR, and
+# excluded regions whose reads failed to map back uniquely [R:verify exact
+# read length / stride; commonly 70nt / 10nt in the historical BuildRef].
+MAPGEN_READ_LEN = 70  # [R:verify]
+MAPGEN_STRIDE = 10  # [R:verify]
