@@ -81,6 +81,53 @@ def main() -> None:
     )
 
 
+def bench_e2e() -> None:
+    """BENCH_MODE=e2e: full pipeline reads/s — native decode -> H2D -> device
+    step -> finalize — on a synthetic chr21-scale ~1M-read BAM (config A
+    shape).  Prints the same one-line JSON format."""
+    import tempfile
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from irfinder_tpu.engine import run_bam
+    from irfinder_tpu.io import bamwrite
+    from irfinder_tpu.synth import synth_ref
+
+    n_pairs = int(os.environ.get("BENCH_PAIRS", 500_000))
+    ref = synth_ref(n_genes=800)
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="irbench_")
+    bam = os.path.join(tmp, "bench.bam")
+    with open(bam, "wb") as fh:
+        recs = []
+        starts = rng.integers(0, 45_000_000, n_pairs)
+        for i in range(n_pairs):
+            p1 = int(starts[i])
+            recs.extend(bamwrite.make_pair(f"r{i}", 0, p1, "100M", p1 + 250, "100M"))
+        bamwrite.write_bam(fh, ["chr21"], [46_000_000], recs)
+
+    # warm (compile) on a first pass, then measure
+    run_bam(ref, bam, os.path.join(tmp, "warm"))
+    t0 = time.perf_counter()
+    metrics = run_bam(ref, bam, os.path.join(tmp, "out"))
+    dt = time.perf_counter() - t0
+    reads_per_s = metrics.reads_total / dt
+    baseline = _native_oracle_reads_per_s(ref, 1 << 15)
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_bam_reads_per_s",
+                "value": round(reads_per_s, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(reads_per_s / baseline, 2) if baseline else 0.0,
+            }
+        )
+    )
+
+
 def _native_oracle_reads_per_s(ref, n_frags) -> float:
     """Single-thread C++ scalar counter throughput on one identical batch
     (the measured stand-in baseline, BASELINE.md).  0.0 if not built."""
@@ -101,4 +148,7 @@ def _native_oracle_reads_per_s(ref, n_frags) -> float:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE") == "e2e":
+        bench_e2e()
+    else:
+        main()

@@ -102,10 +102,16 @@ class Engine:
         return self._st.metrics
 
     # -- accumulation --------------------------------------------------------
-    def process_batch(self, batch: PackedBatch, st: SampleState | None = None) -> None:
+    def process_batch(
+        self,
+        batch: PackedBatch,
+        st: SampleState | None = None,
+        dev_arrays: dict | None = None,
+    ) -> None:
         st = st or self._st
         t0 = time.perf_counter()
-        st.counters = self._step(self.dref, st.counters, batch.device_arrays())
+        arrs = dev_arrays if dev_arrays is not None else batch.device_arrays()
+        st.counters = self._step(self.dref, st.counters, arrs)
         st.metrics.device_s += time.perf_counter() - t0
         st.metrics.batches += 1
         self._tally_junctions(st, batch)
@@ -128,8 +134,26 @@ class Engine:
             slot[int(strand)] += int(k)
 
     def run_stream(self, batches: Iterable[PackedBatch], st: SampleState | None = None) -> None:
-        for b in batches:
-            self.process_batch(b, st)
+        """Pipelined streaming: kick off the H2D transfer of the CURRENT
+        batch, then pull the NEXT batch from the (native, multithreaded)
+        decoder while the transfer and the async-dispatched device step
+        proceed — decode, PCIe, and compute overlap without any explicit
+        double-buffer machinery (JAX dispatch is asynchronous)."""
+        import jax
+
+        it = iter(batches)
+        try:
+            cur = next(it)
+        except StopIteration:
+            return
+        while cur is not None:
+            dev = {k: jax.device_put(v) for k, v in cur.device_arrays().items()}
+            try:
+                nxt = next(it)
+            except StopIteration:
+                nxt = None
+            self.process_batch(cur, st, dev_arrays=dev)
+            cur = nxt
 
     # -- finalize ------------------------------------------------------------
     def counters_host(self, st: SampleState | None = None) -> dict:
