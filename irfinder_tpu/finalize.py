@@ -25,6 +25,75 @@ from . import semantics as S
 from .refio.compile import CompiledRef, STRAND_CHAR
 
 
+def _depth_stats_vectorized(ref: CompiledRef, dsum: np.ndarray, chunk: int = 4096):
+    """Per-intron depth statistics over CSR runs, vectorized in chunks.
+
+    Returns (coverage, mean_depth, p25, p50, p75, first_w, last_w) arrays,
+    numerically identical to the per-intron reference loop (the percentile is
+    nearest-rank over the intron's sorted included-base depths; edge windows
+    are positional over included bases in genomic order).
+    """
+    N = ref.n_introns
+    cov = np.zeros(N)
+    mean = np.zeros(N)
+    p = np.zeros((3, N), dtype=np.int64)
+    firstw = np.zeros(N)
+    lastw = np.zeros(N)
+    W = S.EDGE_DEPTH_WINDOW
+    qs = (0.25, 0.50, 0.75)
+    for i0 in range(0, N, chunk):
+        i1 = min(N, i0 + chunk)
+        r0, r1 = int(ref.intron_run_off[i0]), int(ref.intron_run_off[i1])
+        lens = ref.run_len[r0:r1].astype(np.int64)
+        if lens.size == 0 or lens.sum() == 0:
+            continue
+        starts = ref.run_mbs_start[r0:r1].astype(np.int64)
+        total = int(lens.sum())
+        # flattened per-base MBS indices of every (intron, run) pair
+        rep_off = np.repeat(np.cumsum(lens) - lens, lens)
+        pos = np.arange(total, dtype=np.int64) - rep_off
+        vals = dsum[np.repeat(starts, lens) + pos].astype(np.int64)
+        # per-intron segmentation
+        n_per = (
+            ref.intron_run_off[i0 + 1 : i1 + 1].astype(np.int64)
+            - ref.intron_run_off[i0:i1]
+        )
+        n_bases = np.zeros(i1 - i0, dtype=np.int64)
+        # bases per intron = sum of its runs' lens
+        run_intron = np.repeat(np.arange(i1 - i0), n_per)
+        np.add.at(n_bases, run_intron, lens)
+        seg = np.concatenate([[0], np.cumsum(n_bases)])
+        nz = n_bases > 0
+        base_intron = np.repeat(np.arange(i1 - i0), n_bases)
+
+        cs = np.concatenate([[0], np.cumsum(vals)])
+        sums = cs[seg[1:]] - cs[seg[:-1]]
+        csnz = np.concatenate([[0], np.cumsum(vals != 0)])
+        nonzero = csnz[seg[1:]] - csnz[seg[:-1]]
+        cov[i0:i1][nz] = nonzero[nz] / n_bases[nz]
+        mean[i0:i1][nz] = sums[nz] / n_bases[nz]
+
+        order = np.lexsort((vals, base_intron))
+        sv = vals[order]
+        for k, q in enumerate(qs):
+            # nearest-rank index per intron: ceil(q*n)-1 clamped to [0, n-1]
+            ridx = np.minimum(
+                n_bases - 1, np.maximum(0, np.ceil(q * n_bases).astype(np.int64) - 1)
+            )
+            pk = np.zeros(i1 - i0, dtype=np.int64)
+            pk[nz] = sv[(seg[:-1] + ridx)[nz]]
+            p[k, i0:i1] = pk
+
+        w = np.minimum(W, n_bases)
+        fw = np.zeros(i1 - i0)
+        lw = np.zeros(i1 - i0)
+        fw[nz] = (cs[(seg[:-1] + w)[nz]] - cs[seg[:-1]][nz]) / w[nz]
+        lw[nz] = (cs[seg[1:]][nz] - cs[(seg[1:] - w)[nz]]) / w[nz]
+        firstw[i0:i1] = fw
+        lastw[i0:i1] = lw
+    return cov, mean, p[0], p[1], p[2], firstw, lastw
+
+
 def intron_rows(
     ref: CompiledRef,
     depth: np.ndarray,
@@ -35,13 +104,88 @@ def intron_rows(
     mode: str = "nondir",
     flip_strand: bool = False,
 ) -> list:
-    """Finalize counters into IntronRow records.
+    """Finalize counters into IntronRow records — vectorized host join
+    (chunked NumPy over the CSR run structure; the per-intron reference loop
+    is kept as intron_rows_loop and equivalence-tested).
 
     mode: "nondir" sums both fragment strands; "dir" keeps only fragments
     whose (optionally flipped) strand matches the intron strand.
     flip_strand: library polarity correction from detect_directionality()
     (fragment strand 0 maps to annotation '-' when True).
     """
+    istrand = ref.intron_strand.astype(np.int64)
+    if mode == "nondir":
+        variant = np.full(ref.n_introns, 2, dtype=np.int64)  # both strands
+    else:
+        want = np.where(flip_strand, 1 - istrand, istrand)
+        variant = np.where(istrand >= 2, 2, want)
+
+    # depth stats for each needed strand variant (0, 1, both)
+    stats = {}
+    for v in np.unique(variant):
+        dsum = depth[0] + depth[1] if v == 2 else depth[int(v)]
+        stats[int(v)] = _depth_stats_vectorized(ref, dsum.astype(np.int64))
+
+    def pick(stat_idx):
+        out = np.zeros(ref.n_introns, dtype=stats[int(variant[0])][stat_idx].dtype)
+        for v, st_ in stats.items():
+            m = variant == v
+            out[m] = st_[stat_idx][m]
+        return out
+
+    cov, mean, p25, p50, p75, firstw, lastw = (pick(k) for k in range(7))
+
+    def cnt(arr, idx_col):
+        if mode == "nondir":
+            return arr[0, idx_col].astype(np.int64) + arr[1, idx_col].astype(np.int64)
+        both = arr[0, idx_col].astype(np.int64) + arr[1, idx_col].astype(np.int64)
+        one = arr[np.minimum(variant, 1), idx_col].astype(np.int64)
+        return np.where(variant == 2, both, one)
+
+    sl = cnt(start_cnt, ref.intron_bstart_idx)
+    sr = cnt(end_cnt, ref.intron_bend_idx)
+    sx = cnt(exact_cnt, ref.intron_pair_idx)
+    eil = cnt(span_hits, ref.intron_pstart_idx)
+    eir = cnt(span_hits, ref.intron_pend_idx)
+
+    rows = []
+    for i in range(ref.n_introns):
+        rows.append(
+            S.IntronRow(
+                chrom=ref.chroms[int(ref.intron_chrom[i])],
+                start=int(ref.intron_start[i]),
+                end=int(ref.intron_end[i]),
+                name=ref.intron_names[i],
+                strand=STRAND_CHAR[int(istrand[i])],
+                coverage=float(cov[i]),
+                intron_depth=float(mean[i]),
+                p25=int(p25[i]),
+                p50=int(p50[i]),
+                p75=int(p75[i]),
+                exon_intron_left=int(eil[i]),
+                exon_intron_right=int(eir[i]),
+                depth_first50=float(firstw[i]),
+                depth_last50=float(lastw[i]),
+                splice_left=int(sl[i]),
+                splice_right=int(sr[i]),
+                splice_exact=int(sx[i]),
+            )
+        )
+    return rows
+
+
+def intron_rows_loop(
+    ref: CompiledRef,
+    depth: np.ndarray,
+    start_cnt: np.ndarray,
+    end_cnt: np.ndarray,
+    exact_cnt: np.ndarray,
+    span_hits: np.ndarray,
+    mode: str = "nondir",
+    flip_strand: bool = False,
+) -> list:
+    """Per-intron reference implementation (the original scalar join); kept
+    as the oracle for tests/test_finalize_vectorized.py."""
     rows = []
     for i in range(ref.n_introns):
         istrand = int(ref.intron_strand[i])
