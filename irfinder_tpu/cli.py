@@ -63,14 +63,11 @@ def cmd_bam(args) -> int:
     from .engine import run_bam
     from .refio.compile import CompiledRef
 
+    from .config import RunConfig
+
     ref = CompiledRef.load(args.ref)
-    run = lambda: run_bam(
-        ref,
-        args.bam,
-        args.out,
-        checkpoint=args.checkpoint,
-        checkpoint_every=args.checkpoint_every,
-    )
+    cfg = RunConfig.from_args(args)
+    run = lambda: run_bam(ref, args.bam, args.out, config=cfg)
     if args.profile:
         # SURVEY.md §5.1: device+host trace around the whole counting loop;
         # per-stage wall times (decode/device/finalize) land in metrics.json
@@ -196,8 +193,21 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--profile", help="write a jax.profiler trace to this directory")
     c.add_argument("--checkpoint", help="snapshot file for resumable runs")
     c.add_argument(
-        "--checkpoint-every", type=int, default=64, help="batches between snapshots"
+        "--checkpoint-every",
+        type=int,
+        default=None,
+        dest="checkpoint_every",
+        help="batches between snapshots",
     )
+    c.add_argument(
+        "--cap-frags", type=int, default=None, dest="cap_frags",
+        help="fragments per device batch",
+    )
+    c.add_argument(
+        "--threads", type=int, default=None, dest="decoder_threads",
+        help="native decoder worker threads",
+    )
+    c.add_argument("--no-native", action="store_true", help="force the Python decoder")
     c.set_defaults(fn=cmd_bam)
 
     m = sub.add_parser("Mapability", help="mappability exclusion generation")

@@ -196,6 +196,7 @@ def open_decoder(
     bam,
     cap_frags: int = 1 << 15,
     use_native: bool = True,
+    n_threads: int = 4,
 ):
     """Pick the decoder: the multithreaded native C++ decoder for file paths
     (SURVEY.md §2 row 7), the pure-Python decoder for file objects or when the
@@ -207,7 +208,9 @@ def open_decoder(
             try:
                 from .native.bamdecode import decode_bam_native
 
-                return decode_bam_native(str(bam), chrom_index, cap_frags=cap_frags)
+                return decode_bam_native(
+                    str(bam), chrom_index, cap_frags=cap_frags, n_threads=n_threads
+                )
             except (RuntimeError, OSError, AssertionError):
                 pass  # no toolchain / build failure: fall through to Python
         bam = open(bam, "rb")
@@ -222,6 +225,7 @@ def run_bam(
     use_native: bool = True,
     checkpoint: str | None = None,
     checkpoint_every: int = 64,
+    config=None,
 ) -> RunMetrics:
     """The `-m BAM` counting path (SURVEY.md §3.3): count one aligner-ordered
     BAM (path or file object) against a compiled reference and write the full
@@ -230,10 +234,21 @@ def run_bam(
     With `checkpoint`, the accumulation state is snapshotted every
     `checkpoint_every` batches and a pre-existing snapshot is resumed from
     (skipping already-counted batches; see irfinder_tpu/checkpoint.py).  The
-    snapshot is removed after a successful run."""
+    snapshot is removed after a successful run.
+
+    `config` (irfinder_tpu.config.RunConfig) overrides the individual
+    keyword knobs when given — the single configuration surface of
+    SURVEY.md §5.6."""
+    n_threads = 4
+    if config is not None:
+        cap_frags = config.cap_frags
+        use_native = config.use_native
+        checkpoint = config.checkpoint
+        checkpoint_every = config.checkpoint_every
+        n_threads = config.decoder_threads
     engine = Engine(ref, cap_frags=cap_frags)
     t0 = time.perf_counter()
-    header, batches, stats = open_decoder(ref, bam, cap_frags, use_native)
+    header, batches, stats = open_decoder(ref, bam, cap_frags, use_native, n_threads)
     skip = 0
     if checkpoint:
         from .checkpoint import load_checkpoint, restore_state, save_checkpoint
@@ -273,6 +288,7 @@ def run_multi_bam(
     out_dirs: "list[str]",
     cap_frags: int = 1 << 15,
     use_native: bool = True,
+    config=None,
 ) -> "list[RunMetrics]":
     """Multi-sample batch mode (SURVEY.md §2 rows 19/21, BASELINE config D):
     stream N BAMs concurrently through ONE Engine (one device ref, one
@@ -285,11 +301,16 @@ def run_multi_bam(
     """
     if len(bams) != len(out_dirs):
         raise ValueError("bams and out_dirs must pair up")
+    n_threads = 4
+    if config is not None:
+        cap_frags = config.cap_frags
+        use_native = config.use_native
+        n_threads = config.decoder_threads
     engine = Engine(ref, cap_frags=cap_frags)
     t0 = time.perf_counter()
     streams = []
     for path in bams:
-        header, batches, stats = open_decoder(ref, path, cap_frags, use_native)
+        header, batches, stats = open_decoder(ref, path, cap_frags, use_native, n_threads)
         st = engine.new_state(n_refids=len(header.ref_names))
         streams.append({"it": iter(batches), "st": st, "hdr": header, "stats": stats})
 
