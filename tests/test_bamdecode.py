@@ -3,6 +3,7 @@ streams (the conformance contract in irfinder_tpu/io/bampy.py's docstring).
 Skipped when the native toolchain can't build the library."""
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -87,3 +88,24 @@ def test_native_empty_file(lib, tmp_path):
     with pytest.raises(ValueError):
         hdr, gen, _ = nat.decode_bam_native(str(p), CHROM_INDEX)
         list(gen)
+
+
+@pytest.mark.parametrize("target,exe", [("asan", "smoke_asan"), ("tsan", "smoke_tsan")])
+def test_sanitizer_smoke(lib, tmp_path, target, exe):
+    """Run the decoder under ASan/TSan on a multi-threaded decode (SURVEY.md
+    §5.2 — the decoder is the only threaded native code)."""
+    import subprocess
+
+    from irfinder_tpu.native import _NATIVE_ROOT
+
+    d = os.path.join(_NATIVE_ROOT, "bamdecode")
+    r = subprocess.run(["make", "-C", d, target], capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"sanitizer build unavailable: {r.stderr[-200:]}")
+    bam = tmp_path / "s.bam"
+    bam.write_bytes(random_bam_bytes(seed=3, n_frags=500))
+    p = subprocess.run(
+        [os.path.join(d, exe), str(bam), "8"], capture_output=True, text=True, timeout=120
+    )
+    assert p.returncode == 0, p.stderr[-800:]
+    assert "SUMMARY" not in p.stderr  # sanitizer reports print SUMMARY lines
