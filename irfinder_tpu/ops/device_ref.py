@@ -130,7 +130,7 @@ def _pad_rows(cols, target):
     return out
 
 
-def build_device_ref(ref: CompiledRef, pads: dict | None = None) -> DeviceRef:
+def build_device_ref(ref: CompiledRef, pads: dict | None = None, bucket: int = 128) -> DeviceRef:
     """Host CompiledRef -> device tensors (one H2D put per table).
 
     pads: optional uniform table sizes {uspan,bstart,bend,pair,point,roi,mbs}
@@ -175,14 +175,16 @@ def build_device_ref(ref: CompiledRef, pads: dict | None = None) -> DeviceRef:
     uspan_bt = BucketTable.build(
         (u_chrom, u_start),
         payload_cols=(u_chrom, u_start, u_len, u_off),
+        bucket=bucket,
     )
-    bstart_bt = BucketTable.build((bs_c, bs_v), payload_cols=(bs_c, bs_v))
-    bend_bt = BucketTable.build((be_c, be_v), payload_cols=(be_c, be_v))
+    bstart_bt = BucketTable.build((bs_c, bs_v), payload_cols=(bs_c, bs_v), bucket=bucket)
+    bend_bt = BucketTable.build((be_c, be_v), payload_cols=(be_c, be_v), bucket=bucket)
     pair_bt = BucketTable.build(
         (pr_c, pr_s, pr_e),
         payload_cols=(pr_c, pr_s, pr_e),
+        bucket=bucket,
     )
-    point_bt = BucketTable.build((pt_c, pt_v))
+    point_bt = BucketTable.build((pt_c, pt_v), bucket=bucket)
 
     j = jnp.asarray
     return DeviceRef(
