@@ -222,6 +222,18 @@ def build_parser() -> argparse.ArgumentParser:
     dl = sub.add_parser("BuildRefDownload", help="(no egress) documented inputs")
     dl.set_defaults(fn=cmd_buildref_download)
 
+    # reference mode-name parity: BuildRefProcess is the processing half of
+    # the reference's BuildRef (we have no download half in-process), and
+    # BuildRefFromSTARRef only reused a STAR index — alignment is external
+    # here, so both map onto BuildRef's GTF compilation.
+    for alias in ("BuildRefProcess", "BuildRefFromSTARRef"):
+        a = sub.add_parser(alias, help=f"alias of BuildRef ({alias} parity)")
+        a.add_argument("-g", "--gtf", required=True)
+        a.add_argument("-r", "--ref", required=True)
+        a.add_argument("--roi")
+        a.add_argument("--exclude")
+        a.set_defaults(fn=cmd_buildref)
+
     g = sub.add_parser("Batch", help="multi-sample batch mode (N concurrent BAMs)")
     g.add_argument("-r", "--ref", required=True, help="reference directory from BuildRef")
     g.add_argument("-d", "--out", required=True, help="output root (one subdir per sample)")
