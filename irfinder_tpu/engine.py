@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import BinaryIO, Iterable
+from typing import Iterable
 
 import jax
 import numpy as np

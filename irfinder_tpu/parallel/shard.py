@@ -20,7 +20,6 @@ MBS diff array by chrom bins; see parallel/genome.py.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

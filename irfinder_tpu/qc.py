@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import IO
 
-import numpy as np
 
 from .refio.compile import CompiledRef
 
