@@ -38,11 +38,13 @@ def main() -> None:
     dref = build_device_ref(ref)
     step = make_count_step()
 
+    from irfinder_tpu.io.batch import device_batch
+
     batches = []
     total_reads = 0
     for i in range(n_batches):
         arrs, n_reads = synth_batch_arrays(ref, n_frags=n_frags, seed=i + 1)
-        batches.append({k: jax.device_put(v) for k, v in arrs.items()})
+        batches.append({k: jax.device_put(v) for k, v in device_batch(arrs).items()})
         total_reads += n_reads
 
     counters = init_counters(dref, n_refids=len(ref.chroms))

@@ -24,7 +24,7 @@ import jax
 import numpy as np
 
 from . import format as fmt
-from .finalize import detect_directionality, intron_rows
+from .finalize import detect_directionality, intron_rows, junction_counters
 from .io.bampy import BamHeader, decode_bam
 from .io.batch import PackedBatch
 from .ops.device_ref import DeviceRef, build_device_ref
@@ -63,6 +63,25 @@ class SampleState:
     junc_tally: dict = dataclasses.field(default_factory=dict)
     metrics: RunMetrics = dataclasses.field(default_factory=RunMetrics)
     n_refids: int = 0
+
+
+def tally_junctions(tally: dict, b: PackedBatch) -> None:
+    """Host-side sparse junction map: (chrom,start,end) -> [fwd, rev] counts.
+    Vectorized np.unique per batch; feeds IRFinder-JuncCount.txt and the
+    finalize-time junction counters (finalize.junction_counters)."""
+    n = b.n_gaps
+    if n == 0:
+        return
+    keys = np.stack(
+        [b.gap_chrom[:n], b.gap_start[:n], b.gap_end[:n], b.gap_strand[:n]], axis=1
+    )
+    keys = keys[keys[:, 0] >= 0]
+    if keys.size == 0:
+        return
+    uniq, counts = np.unique(keys, axis=0, return_counts=True)
+    for (c, s, e, strand), k in zip(uniq, counts):
+        slot = tally.setdefault((int(c), int(s), int(e)), [0, 0])
+        slot[int(strand)] += int(k)
 
 
 class Engine:
@@ -118,20 +137,7 @@ class Engine:
 
     @staticmethod
     def _tally_junctions(st: SampleState, b: PackedBatch) -> None:
-        """Host-side sparse junction map for IRFinder-JuncCount.txt."""
-        n = b.n_gaps
-        if n == 0:
-            return
-        keys = np.stack(
-            [b.gap_chrom[:n], b.gap_start[:n], b.gap_end[:n], b.gap_strand[:n]], axis=1
-        )
-        keys = keys[keys[:, 0] >= 0]
-        if keys.size == 0:
-            return
-        uniq, counts = np.unique(keys, axis=0, return_counts=True)
-        for (c, s, e, strand), k in zip(uniq, counts):
-            slot = st.junc_tally.setdefault((int(c), int(s), int(e)), [0, 0])
-            slot[int(strand)] += int(k)
+        tally_junctions(st.junc_tally, b)
 
     def run_stream(self, batches: Iterable[PackedBatch], st: SampleState | None = None) -> None:
         """Pipelined streaming: kick off the H2D transfer of the CURRENT
@@ -157,11 +163,15 @@ class Engine:
 
     # -- finalize ------------------------------------------------------------
     def counters_host(self, st: SampleState | None = None) -> dict:
-        """Finalize diff arrays on device, pull everything to host NumPy."""
+        """Finalize diff arrays on device, pull everything to host NumPy, and
+        join in the host-side junction counters (ops/step.py docstring:
+        junction counting lives on the host tally, not the device step)."""
         st = st or self._st
         t0 = time.perf_counter()
         fin = self._finalize(self.dref, st.counters)
         out = {k: np.asarray(v) for k, v in fin.items()}
+        sc, ec, xc = junction_counters(self.ref, st.junc_tally)
+        out["start_cnt"], out["end_cnt"], out["exact_cnt"] = sc, ec, xc
         st.metrics.finalize_s += time.perf_counter() - t0
         return out
 

@@ -245,6 +245,73 @@ def intron_rows_loop(
     return rows
 
 
+def junction_counters(ref: CompiledRef, junc_tally: dict):
+    """Host-side junction counters from the sparse per-batch tally
+    (engine._tally_junctions): strand-resolved counts of observed splice gaps
+    matching each unique intron start / end / (start,end) pair.
+
+    The tally maps (chrom, start, end) -> [fwd_count, rev_count]; matching
+    against the compiled tables is three vectorized searchsorted passes over
+    packed int64 keys.  Returns (start_cnt, end_cnt, exact_cnt), each
+    int32 (2, table_size) — exactly what the device used to produce before
+    junction counting moved off the hot step (ops/step.py docstring).
+    """
+    S_ = int(ref.bstart_coord.size)
+    E_ = int(ref.bend_coord.size)
+    X_ = int(ref.upair_start.size)
+    start_cnt = np.zeros((2, S_), np.int32)
+    end_cnt = np.zeros((2, E_), np.int32)
+    exact_cnt = np.zeros((2, X_), np.int32)
+    if not junc_tally:
+        return start_cnt, end_cnt, exact_cnt
+    keys = np.array(sorted(junc_tally.keys()), dtype=np.int64)  # (n, 3)
+    vals = np.array([junc_tally[tuple(k)] for k in keys.tolist()], dtype=np.int64)
+
+    def chrom_col(seg):
+        return np.repeat(np.arange(len(seg) - 1, dtype=np.int64), np.diff(seg))
+
+    def accumulate(out, table_key, query_key):
+        if table_key.size == 0:
+            return
+        j = np.searchsorted(table_key, query_key)
+        jc = np.clip(j, 0, table_key.size - 1)
+        hit = table_key[jc] == query_key
+        for strand in (0, 1):
+            np.add.at(out[strand], jc[hit], vals[hit, strand])
+
+    qc, qs, qe = keys[:, 0], keys[:, 1], keys[:, 2]
+    accumulate(
+        start_cnt,
+        chrom_col(ref.bstart_seg) << 32 | ref.bstart_coord.astype(np.int64),
+        qc << 32 | qs,
+    )
+    accumulate(
+        end_cnt,
+        chrom_col(ref.bend_seg) << 32 | ref.bend_coord.astype(np.int64),
+        qc << 32 | qe,
+    )
+    # pairs: 3 columns exceed one int64, so search (start<<31|end) within the
+    # query chromosome's table segment (host-side per-chrom loop; few chroms)
+    if X_ == 0:
+        return start_cnt, end_cnt, exact_cnt
+    pair_key = (ref.upair_start.astype(np.int64) << 31) | ref.upair_end.astype(np.int64)
+    q_key = (qs << 31) | qe
+    seg = ref.upair_seg
+    for c in np.unique(qc):
+        if c < 0 or c + 1 >= seg.size:
+            continue
+        lo, hi = int(seg[c]), int(seg[c + 1])
+        if hi <= lo:
+            continue
+        m = qc == c
+        j = lo + np.searchsorted(pair_key[lo:hi], q_key[m])
+        jc = np.clip(j, 0, X_ - 1)
+        hit = (j < hi) & (pair_key[jc] == q_key[m])
+        for strand in (0, 1):
+            np.add.at(exact_cnt[strand], jc[hit], vals[m, strand][hit])
+    return start_cnt, end_cnt, exact_cnt
+
+
 def pair_strands(ref: CompiledRef) -> np.ndarray:
     """Annotation strand per unique (start, end) junction pair: 0/1 when all
     introns sharing the pair agree, 2 when unknown or conflicting."""

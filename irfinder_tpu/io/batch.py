@@ -72,19 +72,35 @@ class PackedBatch:
         )
 
     def device_arrays(self) -> dict:
-        """The arrays shipped to the device step (order-stable dict)."""
+        """The arrays shipped to the device step (order-stable dict).  Gap
+        columns are NOT shipped: junction counting lives on the host tally
+        (engine.tally_junctions; ops/step.py docstring), so gaps never cross
+        H2D."""
         return {
             "blk_chrom": self.blk_chrom,
             "blk_start": self.blk_start,
             "blk_end": self.blk_end,
             "blk_strand": self.blk_strand,
-            "gap_chrom": self.gap_chrom,
-            "gap_start": self.gap_start,
-            "gap_end": self.gap_end,
-            "gap_strand": self.gap_strand,
             "frag_chrom": self.frag_chrom,
             "frag_refid": self.frag_refid,
             "frag_start": self.frag_start,
             "frag_end": self.frag_end,
             "frag_strand": self.frag_strand,
         }
+
+
+def all_arrays_of(b: "PackedBatch") -> dict:
+    """Every column including host-only gaps (oracle/conformance paths)."""
+    d = b.device_arrays()
+    d.update(
+        gap_chrom=b.gap_chrom, gap_start=b.gap_start,
+        gap_end=b.gap_end, gap_strand=b.gap_strand,
+    )
+    return d
+
+
+def device_batch(arrays: dict) -> dict:
+    """Strip host-only (gap) columns from a raw batch-array dict so callers
+    holding synthetic array dicts (bench, dry runs) ship the same column set
+    as PackedBatch.device_arrays()."""
+    return {k: v for k, v in arrays.items() if not k.startswith("gap_")}

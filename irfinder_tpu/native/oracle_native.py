@@ -98,7 +98,9 @@ class NativeOracle:
         )
 
     def add_batch(self, batch) -> None:
-        b = batch if isinstance(batch, dict) else batch.device_arrays()
+        from ..io.batch import all_arrays_of
+
+        b = batch if isinstance(batch, dict) else all_arrays_of(batch)
         cols = {kk: np.ascontiguousarray(v, dtype=np.int32) for kk, v in b.items()}
         self._last = cols  # keep alive during the call
         self.lib.orc_count_batch(

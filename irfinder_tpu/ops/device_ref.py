@@ -72,11 +72,10 @@ class DeviceRef:
     roi_start: jnp.ndarray
     roi_end: jnp.ndarray
     # bucketed rank tables (ops/bucket.py) — the hot-path search structures;
-    # the flat sentinel-padded columns above are kept for finalize/tests
+    # the flat sentinel-padded columns above are kept for finalize/tests.
+    # (Junction tables have no device structures at all: junction counting is
+    # host-side — ops/step.py docstring.)
     uspan_bt: BucketTable  # keys (chrom,start); payload (chrom,start,len,off)
-    bstart_bt: BucketTable  # keys (chrom,coord); payload = keys
-    bend_bt: BucketTable
-    pair_bt: BucketTable  # keys (chrom,start,end); payload = keys
     point_bt: BucketTable  # keys (chrom,coord); rank-only
     # static (non-pytree-leaf) metadata — usable inside jit traces
     mbs_size_static: int = 0
@@ -177,13 +176,6 @@ def build_device_ref(ref: CompiledRef, pads: dict | None = None, bucket: int = 1
         payload_cols=(u_chrom, u_start, u_len, u_off),
         bucket=bucket,
     )
-    bstart_bt = BucketTable.build((bs_c, bs_v), payload_cols=(bs_c, bs_v), bucket=bucket)
-    bend_bt = BucketTable.build((be_c, be_v), payload_cols=(be_c, be_v), bucket=bucket)
-    pair_bt = BucketTable.build(
-        (pr_c, pr_s, pr_e),
-        payload_cols=(pr_c, pr_s, pr_e),
-        bucket=bucket,
-    )
     point_bt = BucketTable.build((pt_c, pt_v), bucket=bucket)
 
     j = jnp.asarray
@@ -206,9 +198,6 @@ def build_device_ref(ref: CompiledRef, pads: dict | None = None, bucket: int = 1
         roi_start=j(ro[1]),
         roi_end=j(ro[2]),
         uspan_bt=uspan_bt,
-        bstart_bt=bstart_bt,
-        bend_bt=bend_bt,
-        pair_bt=pair_bt,
         point_bt=point_bt,
         mbs_size_static=mbs_static,
     )

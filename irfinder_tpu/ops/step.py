@@ -7,12 +7,17 @@ all of them are one XLA program over a whole PackedBatch:
 * CoverageBlocks  -> two +1/-1 updates per block into a depth *diff* region
   over measured-base space (exclusion masking is pure rank arithmetic, see
   refio/compile.py); depth itself is recovered by one cumsum at finalize.
-* JunctionCount   -> bucketed exact-match of each splice gap against the
-  unique intron start / end / (start,end) tables (ops/bucket.py).
 * SpansPoint      -> bucketed rank-range of each block against the boundary
   point table, as another diff region (+1 first spanned point, -1 past last).
 * FragmentsInROI  -> dense broadcast interval overlap (ROI tables are tiny).
-* FragmentsInChr  -> refid tally.
+* FragmentsInChr  -> dense per-refid count.
+* JunctionCount   is NOT on the device: splice gaps are a small sparse subset
+  of the read stream, and the host already tallies unique (chrom,start,end)
+  junctions per batch for IRFinder-JuncCount.txt (engine._tally_junctions);
+  per-intron SpliceLeft/Right/Exact are derived from that tally at finalize
+  (finalize.junction_counters).  Moving them off-device deletes 3 bucketed
+  match passes + 3 gap scatter updates per gap from the hot step AND the gap
+  columns from every H2D transfer (measured ~30%% of step time).
 
 TPU-native design decisions (validated by honest chained timings on v5e):
 
@@ -48,19 +53,15 @@ class CounterLayout:
 
     Sections (all int32):
       dd   (2, mbs+1)      depth diff over MBS, per strand     [cumsum later]
-      s    (2, S+1)        SpliceLeft  (intron 5' starts)
-      e    (2, E+1)        SpliceRight (intron 3' ends)
-      x    (2, X+1)        SpliceExact ((start,end) pairs)
       p    (2, P+1)        spans diff over boundary points     [cumsum later]
       roi  (2, R+1)        fragments per ROI, per strand
       chr  (n_refids+1,)   fragments per BAM refid
       nf   (1,)            admitted fragments
+
+    (Junction counters live host-side — see the module docstring.)
     """
 
     mbs: int
-    S: int
-    E: int
-    X: int
     P: int
     R: int
     n_refids: int
@@ -70,9 +71,6 @@ class CounterLayout:
         sz = dref.sizes()
         return CounterLayout(
             mbs=dref.mbs_size,
-            S=sz["S"],
-            E=sz["E"],
-            X=sz["X"],
             P=sz["P"],
             R=sz["R"],
             n_refids=n_refids,
@@ -92,20 +90,8 @@ class CounterLayout:
         return 0
 
     @property
-    def off_s(self):
-        return self.off_dd + 2 * (self.mbs + 1)
-
-    @property
-    def off_e(self):
-        return self.off_s + 2 * (self.S + 1)
-
-    @property
-    def off_x(self):
-        return self.off_e + 2 * (self.E + 1)
-
-    @property
     def off_p(self):
-        return self.off_x + 2 * (self.X + 1)
+        return self.off_dd + 2 * (self.mbs + 1)
 
     @property
     def off_roi(self):
@@ -130,9 +116,6 @@ def layout_from_counters(dref: DeviceRef, counters: dict) -> CounterLayout:
     sz = dref.sizes()
     fixed = (
         2 * (dref.mbs_size + 1)
-        + 2 * (sz["S"] + 1)
-        + 2 * (sz["E"] + 1)
-        + 2 * (sz["X"] + 1)
         + 2 * (sz["P"] + 1)
         + 2 * (sz["R"] + 1)
     )
@@ -168,25 +151,6 @@ def count_step(dref: DeviceRef, counters: dict, batch: dict) -> dict:
     idx_cov = jnp.concatenate([dd_base + lo, dd_base + hi])
     val_cov = jnp.concatenate([jnp.ones(B, jnp.int32), jnp.full(B, -1, jnp.int32)])
 
-    # --- JunctionCount: bucketed exact-match of splice gaps -----------------
-    gap_c, gap_s, gap_e = batch["gap_chrom"], batch["gap_start"], batch["gap_end"]
-    gap_st = batch["gap_strand"]
-    G = gap_c.shape[0]
-    si, hs = dref.bstart_bt.match((gap_c, gap_s))
-    ei, he = dref.bend_bt.match((gap_c, gap_e))
-    xi, hx = dref.pair_bt.match((gap_c, gap_s, gap_e))
-    si = jnp.where(hs, si, lay.S)
-    ei = jnp.where(he, ei, lay.E)
-    xi = jnp.where(hx, xi, lay.X)
-    idx_junc = jnp.concatenate(
-        [
-            lay.off_s + gap_st * (lay.S + 1) + si,
-            lay.off_e + gap_st * (lay.E + 1) + ei,
-            lay.off_x + gap_st * (lay.X + 1) + xi,
-        ]
-    )
-    val_junc = jnp.ones(3 * G, jnp.int32)
-
     # --- SpansPoint: bucketed rank-range diff over boundary points ----------
     OH = jnp.int32(S.SPANS_OVERHANG)
     plo = dref.point_bt.rank((blk_c, blk_s + OH), side="left")
@@ -198,18 +162,24 @@ def count_step(dref: DeviceRef, counters: dict, batch: dict) -> dict:
     idx_sp = jnp.concatenate([p_base + plo, p_base + phi])
     val_sp = val_cov  # same (+1 x B, -1 x B) pattern
 
-    # --- FragmentsInChr -----------------------------------------------------
+    # --- FragmentsInChr: dense per-refid count (refid count is tiny, so a
+    # broadcast compare-sum beats adding F more scatter updates) -------------
     f_rid = batch["frag_refid"]
     rid = jnp.where(
         (f_rid >= 0) & (f_rid < lay.n_refids), f_rid, lay.n_refids
     )
-    idx_chr = lay.off_chr + rid
-    val_chr = jnp.ones(rid.shape[0], jnp.int32)
+    chr_counts = jnp.sum(
+        rid[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, lay.n_refids + 1), 1),
+        axis=0,
+        dtype=jnp.int32,
+    )
 
     # --- ONE fused scatter over all processors ------------------------------
-    idx = jnp.concatenate([idx_cov, idx_junc, idx_sp, idx_chr])
-    val = jnp.concatenate([val_cov, val_junc, val_sp, val_chr])
+    idx = jnp.concatenate([idx_cov, idx_sp])
+    val = jnp.concatenate([val_cov, val_sp])
     cnt = cnt.at[idx].add(val)
+    cnt = cnt.at[lay.off_chr : lay.off_chr + lay.n_refids + 1].add(chr_counts)
 
     # --- FragmentsInROI: dense broadcast overlap (tiny table) ---------------
     f_c, f_s, f_e = batch["frag_chrom"], batch["frag_start"], batch["frag_end"]
@@ -248,9 +218,6 @@ def finalize_device(dref: DeviceRef, counters: dict) -> dict:
     span_hits = jnp.cumsum(sect2(lay.off_p, lay.P + 1), axis=1)[:, :-1]
     return {
         "depth": depth,
-        "start_cnt": sect2(lay.off_s, lay.S + 1)[:, :-1],
-        "end_cnt": sect2(lay.off_e, lay.E + 1)[:, :-1],
-        "exact_cnt": sect2(lay.off_x, lay.X + 1)[:, :-1],
         "span_hits": span_hits,
         "roi_cnt": sect2(lay.off_roi, lay.R + 1)[:, :-1],
         "chr_frag": cnt[lay.off_chr : lay.off_chr + lay.n_refids],

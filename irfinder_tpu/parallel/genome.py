@@ -14,8 +14,9 @@ Design (no read routing needed — the key trick):
   chromosomes a shard does not own are self-neutralizing by construction:
   - depth / spans diff regions: lo == hi for absent chromosomes, so the
     +1/-1 pair cancels;
-  - junction exact-matches miss and route to the trash slot;
-  - ROI overlap tests simply never match.
+  - ROI overlap tests simply never match
+  (junction counting is host-side per batch — ops/step.py docstring — so it
+  never touches the genome axis at all).
   The per-refid fragment tally is computed identically on every shard, so
   reassembly takes it from shard 0 instead of summing.
 * Table shapes are padded to the max across shards (build_device_ref pads /
@@ -265,9 +266,6 @@ def reassemble_counters(
     pads = plan.pads
     lay = CounterLayout(
         mbs=pads["mbs"],
-        S=pads["bstart"],
-        E=pads["bend"],
-        X=pads["pair"],
         P=pads["point"],
         R=pads["roi"],
         n_refids=n_refids,
@@ -276,7 +274,7 @@ def reassemble_counters(
     def sect2(cnt, off, w):
         return cnt[off : off + 2 * w].reshape(2, w)
 
-    parts = {k: [] for k in ("depth", "start_cnt", "end_cnt", "exact_cnt", "span_hits", "roi_cnt")}
+    parts = {k: [] for k in ("depth", "span_hits", "roi_cnt")}
     for i in range(len(plan.real)):
         cnt = np.asarray(stacked_cnt[i])
         r = plan.real[i]
@@ -284,9 +282,6 @@ def reassemble_counters(
         parts["depth"].append(np.cumsum(dd, axis=1)[:, :-1])
         sp = sect2(cnt, lay.off_p, lay.P + 1)[:, : r["point"] + 1]
         parts["span_hits"].append(np.cumsum(sp, axis=1)[:, :-1])
-        parts["start_cnt"].append(sect2(cnt, lay.off_s, lay.S + 1)[:, : r["bstart"]])
-        parts["end_cnt"].append(sect2(cnt, lay.off_e, lay.E + 1)[:, : r["bend"]])
-        parts["exact_cnt"].append(sect2(cnt, lay.off_x, lay.X + 1)[:, : r["pair"]])
         parts["roi_cnt"].append(sect2(cnt, lay.off_roi, lay.R + 1)[:, : r["roi"]])
     out = {k: np.concatenate(v, axis=1).astype(np.int32) for k, v in parts.items()}
     cnt0 = np.asarray(stacked_cnt[0])

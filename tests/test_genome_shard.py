@@ -9,7 +9,8 @@ import numpy as np
 import pytest
 from jax.sharding import Mesh
 
-from irfinder_tpu.engine import Engine
+from irfinder_tpu.engine import Engine, tally_junctions
+from irfinder_tpu.finalize import junction_counters
 from irfinder_tpu.io.bampy import decode_bam
 from irfinder_tpu.parallel.genome import (
     build_stacked_dref,
@@ -63,11 +64,14 @@ def test_genome_sharded_equals_unsharded(ref, n_shards):
     counters = place(init_stacked_counters(sdref, len(hdr.ref_names), n_shards))
     sdref = place(sdref)
     _, batches, _ = decode_bam(io.BytesIO(bam), CHROM_INDEX)
+    tally = {}
     for b in batches:
+        tally_junctions(tally, b)
         counters = step(sdref, counters, b.device_arrays())
     got = reassemble_counters(
         ref, plan, np.asarray(counters["cnt"]), len(hdr.ref_names)
     )
+    got["start_cnt"], got["end_cnt"], got["exact_cnt"] = junction_counters(ref, tally)
 
     for k in want:
         np.testing.assert_array_equal(np.asarray(got[k]), want[k], err_msg=k)
@@ -96,9 +100,12 @@ def test_dp_x_genome_composed_equals_unsharded(ref):
     counters = place_c(init_dp_genome_counters(sdref, len(hdr.ref_names), n_dp, n_g))
     sdref = place_dref(sdref)
     _, batches, _ = decode_bam(io.BytesIO(bam), CHROM_INDEX)
+    tally = {}
     for b in batches:
+        tally_junctions(tally, b)
         counters = step(sdref, counters, place_b(pad_batch_to_multiple(b.device_arrays(), n_dp)))
     per_shard = merge_dp(counters)
     got = reassemble_counters(ref, plan, np.asarray(per_shard["cnt"]), len(hdr.ref_names))
+    got["start_cnt"], got["end_cnt"], got["exact_cnt"] = junction_counters(ref, tally)
     for k in want:
         np.testing.assert_array_equal(np.asarray(got[k]), want[k], err_msg=k)

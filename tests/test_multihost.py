@@ -77,7 +77,10 @@ import io as _io
 hdr, batches, _ = decode_bam(_io.BytesIO(bam), CHROM_INDEX, cap_frags=64)
 # every process feeds the SAME global batch (columns replicated row-block per
 # dp shard half); host p supplies its half of the dp axis
+from irfinder_tpu.engine import tally_junctions
+tally = {}
 for b in batches:
+    tally_junctions(tally, b)
     arrs = pad_batch_to_multiple(b.device_arrays(), n_dp)
     halves = {k: np.array_split(v, 2)[jax.process_index()] for k, v in arrs.items()}
     gb = make_global_batch(mesh, halves)
@@ -87,7 +90,7 @@ out = jax.jit(lambda c: c, out_shardings=NamedSharding(mesh, P()))(counters["cnt
 res = np.asarray(jax.device_get(out)).sum(axis=0)
 if jax.process_index() == 0:
     with open(sys.argv[3], "wb") as fh:
-        pickle.dump(res, fh)
+        pickle.dump((res, tally), fh)
 print("proc", jax.process_index(), "done", flush=True)
 """
 
@@ -126,7 +129,7 @@ def test_two_process_equals_single(tmp_path):
     import pickle
 
     with open(out, "rb") as fh:
-        got = pickle.load(fh)
+        got, tally = pickle.load(fh)
 
     # single-process truth over the virtual mesh in THIS process
     from irfinder_tpu.engine import Engine
@@ -143,7 +146,11 @@ def test_two_process_equals_single(tmp_path):
     eng.run_stream(batches)
     want = eng.counters_host()
 
+    from irfinder_tpu.finalize import junction_counters
+
     plan = plan_shards(ref, 4)
     got_fc = reassemble_counters(ref, plan, got, len(hdr.ref_names))
+    sc, ec, xc = junction_counters(ref, tally)
+    got_fc["start_cnt"], got_fc["end_cnt"], got_fc["exact_cnt"] = sc, ec, xc
     for k in want:
         np.testing.assert_array_equal(np.asarray(got_fc[k]), want[k], err_msg=k)

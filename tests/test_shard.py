@@ -37,17 +37,24 @@ def test_dp8_matches_single_device(ref):
     eng.run_stream(batches)
     want = eng.counters_host()
 
-    # 8-way data-parallel
+    # 8-way data-parallel; junction counting is host-side (ops/step.py), so
+    # the sharded path tallies identically before device dispatch
+    from irfinder_tpu.engine import tally_junctions
+    from irfinder_tpu.finalize import junction_counters
+
     devs = np.array(jax.devices()[:8])
     mesh = Mesh(devs, ("dp",))
     dref = build_device_ref(ref)
     step, place_batch, place_counters = make_sharded_step(mesh)
     counters = place_counters(stacked_counters(dref, len(hdr.ref_names), 8))
     _, batches, _ = decode_bam(io.BytesIO(bam), CHROM_INDEX)
+    tally = {}
     for b in batches:
+        tally_junctions(tally, b)
         counters = step(dref, counters, place_batch(b.device_arrays()))
     merged = merge_stacked(counters)
     got = {k: np.asarray(v) for k, v in jax.jit(finalize_device)(dref, merged).items()}
+    got["start_cnt"], got["end_cnt"], got["exact_cnt"] = junction_counters(ref, tally)
 
     for k in want:
         np.testing.assert_array_equal(got[k], want[k], err_msg=k)
