@@ -27,7 +27,7 @@ import numpy as np
 
 from .. import semantics as S
 from . import bgzf
-from .batch import BLOCKS_PER_FRAG, GAPS_PER_FRAG, PackedBatch
+from .batch import BLOCKS_PER_FRAG, GAPS_PER_FRAG, MIN_CAP_UNITS, PackedBatch
 
 
 @dataclasses.dataclass
@@ -167,8 +167,8 @@ class BatchBuilder:
     def __init__(self, chrom_of_refid: np.ndarray, cap_frags: int = 1 << 15):
         # sized so typical paired fragments (<=2 blocks+<=1 gap per mate) fit
         self.cap_frags = cap_frags
-        self.cap_blocks = cap_frags * BLOCKS_PER_FRAG
-        self.cap_gaps = cap_frags * GAPS_PER_FRAG
+        self.cap_blocks = max(cap_frags * BLOCKS_PER_FRAG, MIN_CAP_UNITS)
+        self.cap_gaps = max(cap_frags * GAPS_PER_FRAG, MIN_CAP_UNITS)
         self.chrom_of_refid = chrom_of_refid  # int32 LUT, -1 = not in ref
         self.reset()
 
@@ -192,6 +192,11 @@ class BatchBuilder:
         nb = sum(len(r.blocks) for r in reads)
         ng = sum(len(r.gaps) for r in reads)
         nf = len(by_ref)
+        if nb > self.cap_blocks or ng > self.cap_gaps:
+            raise ValueError(
+                f"fragment with {nb} blocks / {ng} gaps exceeds batch capacity "
+                f"({self.cap_blocks}/{self.cap_gaps}); corrupt CIGAR?"
+            )
         done = None
         if self._full(nb, ng, nf):
             done = self.finish()

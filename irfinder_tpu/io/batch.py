@@ -25,6 +25,12 @@ import numpy as np
 #: trade padding waste (device work on dead lanes) against batch count.
 BLOCKS_PER_FRAG = 3
 GAPS_PER_FRAG = 1
+#: Floor on the block/gap column capacities, independent of cap_frags: one
+#: fragment must always fit a single batch (mate carry-over, SURVEY.md §7.3
+#: item 4).  4096 aligned blocks per fragment covers any real alignment
+#: (long-read spliced alignments run ~10^2 exon blocks); beyond it the
+#: decoders raise instead of silently truncating.
+MIN_CAP_UNITS = 4096
 
 
 @dataclasses.dataclass

@@ -76,8 +76,10 @@ struct BatchBuf {
 
   void init(int64_t cap) {
     cap_frags = cap;
-    cap_blocks = cap * 3;  // io/batch.py BLOCKS_PER_FRAG
-    cap_gaps = cap * 1;   // io/batch.py GAPS_PER_FRAG
+    // io/batch.py BLOCKS_PER_FRAG / GAPS_PER_FRAG, floored at MIN_CAP_UNITS
+    // so one fragment (even a long-read spliced alignment) always fits
+    cap_blocks = std::max<int64_t>(cap * 3, 4096);
+    cap_gaps = std::max<int64_t>(cap * 1, 4096);
     blk_chrom.assign(cap_blocks, -1);
     blk_start.assign(cap_blocks, 0);
     blk_end.assign(cap_blocks, 0);
@@ -424,6 +426,13 @@ class Decoder {
       ng += (int64_t)r.gaps.size();
     }
     if (cur_.would_overflow(nb, ng, nf)) {
+      if (cur_.n_frags == 0) {
+        // an empty batch cannot hold this fragment: corrupt/absurd CIGAR.
+        // Drop it (do NOT write past the fixed buffers) and surface an error.
+        error = "fragment exceeds batch capacity (corrupt CIGAR?)";
+        frag.clear();
+        return true;
+      }
       carry_frag_ = std::move(frag);
       have_pending_flush_ = true;
       return false;

@@ -164,3 +164,27 @@ class TestBatching:
         b = batches[0]
         assert b.frag_chrom[0] == -1 and b.frag_refid[0] == 1
         assert b.blk_chrom[0] == -1
+
+
+class TestLongReadFragments:
+    def test_many_junction_long_read_decodes(self):
+        """Long-read spliced alignments (tens of N gaps) must decode even
+        when cap_frags is tiny: block/gap capacities are floored at
+        MIN_CAP_UNITS (io/batch.py) so one fragment always fits."""
+        import io as _io
+
+        from irfinder_tpu.io import bamwrite
+        from irfinder_tpu.io.bampy import decode_bam
+
+        cigar = "20M" + "".join("100N20M" for _ in range(29))
+        rec = bamwrite.make_single("long1", 0, 1000, cigar)
+        buf = _io.BytesIO()
+        bamwrite.write_bam(buf, ["chr21"], [46_000_000], [rec])
+        buf.seek(0)
+        hdr, batches, stats = decode_bam(buf, {"chr21": 0}, cap_frags=16)
+        nb = ng = 0
+        for b in batches:
+            nb += b.n_blocks
+            ng += b.n_gaps
+        assert (nb, ng) == (30, 29)
+        assert stats.fragments == 1
