@@ -192,10 +192,11 @@ class Engine:
             fc["exact_cnt"],
             fc["span_hits"],
         )
+        cache: dict = {}
         return {
             "counters": fc,
-            "rows_nondir": intron_rows(*args, mode="nondir"),
-            "rows_dir": intron_rows(*args, mode="dir", flip_strand=flip),
+            "rows_nondir": intron_rows(*args, mode="nondir", stats_cache=cache),
+            "rows_dir": intron_rows(*args, mode="dir", flip_strand=flip, stats_cache=cache),
             "stranded": stranded,
             "flip_strand": flip,
         }

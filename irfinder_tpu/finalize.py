@@ -25,13 +25,17 @@ from . import semantics as S
 from .refio.compile import CompiledRef, STRAND_CHAR
 
 
-def _depth_stats_vectorized(ref: CompiledRef, dsum: np.ndarray, chunk: int = 4096):
+def _depth_stats_vectorized(ref: CompiledRef, dsum: np.ndarray, chunk: int = 256):
     """Per-intron depth statistics over CSR runs, vectorized in chunks.
 
     Returns (coverage, mean_depth, p25, p50, p75, first_w, last_w) arrays,
     numerically identical to the per-intron reference loop (the percentile is
     nearest-rank over the intron's sorted included-base depths; edge windows
     are positional over included bases in genomic order).
+
+    chunk=256 keeps every temporary under glibc's mmap threshold so buffers
+    are heap-recycled across chunks — large chunks made every temp a fresh
+    mmap + page-fault storm (measured 13x slower at chunk=4096).
     """
     N = ref.n_introns
     cov = np.zeros(N)
@@ -73,16 +77,32 @@ def _depth_stats_vectorized(ref: CompiledRef, dsum: np.ndarray, chunk: int = 409
         cov[i0:i1][nz] = nonzero[nz] / n_bases[nz]
         mean[i0:i1][nz] = sums[nz] / n_bases[nz]
 
-        order = np.lexsort((vals, base_intron))
-        sv = vals[order]
+        # exact nearest-rank percentiles WITHOUT sorting: depths are small
+        # ints, so a per-intron counting histogram (capped at CAP-1, exact
+        # fallback for the rare saturated intron) replaces the lexsort that
+        # dominated finalize time at chromosome scale
+        CAP = 256
+        hist = np.bincount(
+            base_intron * CAP + np.minimum(vals, CAP - 1),
+            minlength=(i1 - i0) * CAP,
+        ).reshape(i1 - i0, CAP)
+        csum = np.cumsum(hist, axis=1)  # csum[i, v] = #bases with depth <= v
+        saturated = np.zeros(i1 - i0, dtype=bool)
         for k, q in enumerate(qs):
             # nearest-rank index per intron: ceil(q*n)-1 clamped to [0, n-1]
             ridx = np.minimum(
                 n_bases - 1, np.maximum(0, np.ceil(q * n_bases).astype(np.int64) - 1)
             )
-            pk = np.zeros(i1 - i0, dtype=np.int64)
-            pk[nz] = sv[(seg[:-1] + ridx)[nz]]
-            p[k, i0:i1] = pk
+            # sorted[ridx] = smallest v with csum[v] >= ridx+1
+            pk = np.sum(csum < (ridx + 1)[:, None], axis=1).astype(np.int64)
+            p[k, i0:i1] = np.where(nz, pk, 0)
+            saturated |= nz & (pk >= CAP - 1)
+        for i in np.nonzero(saturated)[0]:
+            # exact path for introns whose percentile hit the histogram cap
+            d = np.sort(vals[seg[i] : seg[i + 1]])
+            for k, q in enumerate(qs):
+                ridx = min(d.size - 1, max(0, int(np.ceil(q * d.size)) - 1))
+                p[k, i0 + i] = d[ridx]
 
         w = np.minimum(W, n_bases)
         fw = np.zeros(i1 - i0)
@@ -103,6 +123,7 @@ def intron_rows(
     span_hits: np.ndarray,
     mode: str = "nondir",
     flip_strand: bool = False,
+    stats_cache: dict | None = None,
 ) -> list:
     """Finalize counters into IntronRow records — vectorized host join
     (chunked NumPy over the CSR run structure; the per-intron reference loop
@@ -112,6 +133,9 @@ def intron_rows(
     whose (optionally flipped) strand matches the intron strand.
     flip_strand: library polarity correction from detect_directionality()
     (fragment strand 0 maps to annotation '-' when True).
+    stats_cache: optional dict shared across calls over the SAME depth
+    arrays — the nondir and dir tables reuse each strand variant's depth
+    statistics instead of recomputing them (engine.results passes one).
     """
     istrand = ref.intron_strand.astype(np.int64)
     if mode == "nondir":
@@ -121,10 +145,13 @@ def intron_rows(
         variant = np.where(istrand >= 2, 2, want)
 
     # depth stats for each needed strand variant (0, 1, both)
-    stats = {}
+    stats = stats_cache if stats_cache is not None else {}
     for v in np.unique(variant):
-        dsum = depth[0] + depth[1] if v == 2 else depth[int(v)]
-        stats[int(v)] = _depth_stats_vectorized(ref, dsum.astype(np.int64))
+        v = int(v)
+        if v in stats:
+            continue
+        dsum = depth[0] + depth[1] if v == 2 else depth[v]
+        stats[v] = _depth_stats_vectorized(ref, dsum.astype(np.int64))
 
     def pick(stat_idx):
         out = np.zeros(ref.n_introns, dtype=stats[int(variant[0])][stat_idx].dtype)

@@ -43,3 +43,15 @@ def test_vectorized_chunk_boundaries():
     small = _depth_stats_vectorized(ref, dsum, chunk=7)
     for x, y in zip(full, small):
         np.testing.assert_array_equal(x, y)
+
+
+def test_saturated_depth_fallback():
+    # depths beyond the histogram cap (256) must still give exact percentiles
+    ref = synth_ref(n_genes=10, chrom_len=600_000)
+    rng = np.random.default_rng(3)
+    depth = rng.integers(200, 900, (2, ref.mbs_size)).astype(np.int32)
+    z = lambda a: rng.integers(0, 5, (2, a.size)).astype(np.int32)
+    args = (ref, depth, z(ref.bstart_coord), z(ref.bend_coord), z(ref.upair_start), z(ref.point_coord))
+    a = intron_rows(*args)
+    b = intron_rows_loop(*args)
+    assert a == b
