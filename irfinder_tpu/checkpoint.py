@@ -36,6 +36,7 @@ def save_checkpoint(path: str, st, engine=None) -> None:
     np.savez_compressed(
         tmp if tmp.endswith(".npz") else tmp,
         cnt=np.asarray(st.counters["cnt"]),
+        chrn=np.asarray(st.counters["chr"]),
         junc_keys=keys,
         junc_vals=vals,
         batches_done=np.int64(st.metrics.batches),
@@ -53,24 +54,28 @@ def load_checkpoint(path: str):
         return None
     with np.load(path) as z:
         cnt = z["cnt"]
+        chrn = z["chrn"]
         tally = {}
         for k, v in zip(z["junc_keys"], z["junc_vals"]):
             tally[(int(k[0]), int(k[1]), int(k[2]))] = [int(v[0]), int(v[1])]
-        return cnt, tally, int(z["batches_done"]), int(z["n_refids"])
+        return (cnt, chrn), tally, int(z["batches_done"]), int(z["n_refids"])
 
 
 def restore_state(engine, ckpt) -> "SampleState":
     """Build a SampleState out of a loaded checkpoint tuple."""
     import jax.numpy as jnp
 
-    cnt, tally, batches_done, n_refids = ckpt
+    (cnt, chrn), tally, batches_done, n_refids = ckpt
     st = engine.new_state(n_refids=n_refids)
-    if st.counters["cnt"].shape != cnt.shape:
+    if (
+        st.counters["cnt"].shape != cnt.shape
+        or st.counters["chr"].shape != chrn.shape
+    ):
         raise ValueError(
             "checkpoint counter shape mismatch: reference or refid count "
             f"changed ({st.counters['cnt'].shape} vs {cnt.shape})"
         )
-    st.counters = {"cnt": jnp.asarray(cnt)}
+    st.counters = {"cnt": jnp.asarray(cnt), "chr": jnp.asarray(chrn)}
     st.junc_tally = tally
     st.metrics.batches = batches_done
     return st

@@ -45,6 +45,7 @@ import jax.numpy as jnp
 
 from .. import semantics as S
 from .device_ref import DeviceRef, mbs_rank
+from .scatter import pad_len, scatter_add
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,26 +56,23 @@ class CounterLayout:
       dd   (2, mbs+1)      depth diff over MBS, per strand     [cumsum later]
       p    (2, P+1)        spans diff over boundary points     [cumsum later]
       roi  (2, R+1)        fragments per ROI, per strand
-      chr  (n_refids+1,)   fragments per BAM refid
       nf   (1,)            admitted fragments
+      pad  (...)           zeros up to a scatter-TILE multiple (ops/scatter.py)
 
-    (Junction counters live host-side — see the module docstring.)
+    Per-refid fragment tallies live in a separate small dense array
+    (counters["chr"], updated by broadcast-compare, never scattered into) so
+    the flat layout is derivable from the DeviceRef alone.  Junction counters
+    live host-side — see the module docstring.
     """
 
     mbs: int
     P: int
     R: int
-    n_refids: int
 
     @staticmethod
-    def build(dref: DeviceRef, n_refids: int) -> "CounterLayout":
+    def build(dref: DeviceRef) -> "CounterLayout":
         sz = dref.sizes()
-        return CounterLayout(
-            mbs=dref.mbs_size,
-            P=sz["P"],
-            R=sz["R"],
-            n_refids=n_refids,
-        )
+        return CounterLayout(mbs=dref.mbs_size, P=sz["P"], R=sz["R"])
 
     # widths of one strand row per section
     @property
@@ -98,34 +96,26 @@ class CounterLayout:
         return self.off_p + 2 * (self.P + 1)
 
     @property
-    def off_chr(self):
+    def off_nf(self):
         return self.off_roi + 2 * (self.R + 1)
 
     @property
-    def off_nf(self):
-        return self.off_chr + self.n_refids + 1
-
-    @property
     def total(self):
-        return self.off_nf + 1
+        return pad_len(self.off_nf + 1)
 
 
-def layout_from_counters(dref: DeviceRef, counters: dict) -> CounterLayout:
-    """Recover the (static) layout from cnt's shape: every section size is
-    known from dref except n_refids, which the total length pins down."""
-    sz = dref.sizes()
-    fixed = (
-        2 * (dref.mbs_size + 1)
-        + 2 * (sz["P"] + 1)
-        + 2 * (sz["R"] + 1)
-    )
-    n_refids = int(counters["cnt"].shape[-1]) - fixed - 2
-    return CounterLayout.build(dref, n_refids)
+def layout_from_counters(dref: DeviceRef, counters: dict = None) -> CounterLayout:
+    """The layout is a pure function of the DeviceRef (kept under the old
+    name for callers; the counters arg is vestigial)."""
+    return CounterLayout.build(dref)
 
 
 def init_counters(dref: DeviceRef, n_refids: int) -> dict:
-    lay = CounterLayout.build(dref, n_refids)
-    return {"cnt": jnp.zeros(lay.total, dtype=jnp.int32)}
+    lay = CounterLayout.build(dref)
+    return {
+        "cnt": jnp.zeros(lay.total, dtype=jnp.int32),
+        "chr": jnp.zeros(n_refids + 1, dtype=jnp.int32),
+    }
 
 
 def count_step(dref: DeviceRef, counters: dict, batch: dict) -> dict:
@@ -165,21 +155,21 @@ def count_step(dref: DeviceRef, counters: dict, batch: dict) -> dict:
     # --- FragmentsInChr: dense per-refid count (refid count is tiny, so a
     # broadcast compare-sum beats adding F more scatter updates) -------------
     f_rid = batch["frag_refid"]
-    rid = jnp.where(
-        (f_rid >= 0) & (f_rid < lay.n_refids), f_rid, lay.n_refids
-    )
+    n_refids = counters["chr"].shape[-1] - 1
+    rid = jnp.where((f_rid >= 0) & (f_rid < n_refids), f_rid, n_refids)
     chr_counts = jnp.sum(
         rid[:, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (1, lay.n_refids + 1), 1),
+        == jax.lax.broadcasted_iota(jnp.int32, (1, n_refids + 1), 1),
         axis=0,
         dtype=jnp.int32,
     )
 
-    # --- ONE fused scatter over all processors ------------------------------
+    # --- ONE fused scatter over all processors (Pallas sort+MXU-apply on
+    # TPU, XLA scatter elsewhere — ops/scatter.py) ----------------------------
     idx = jnp.concatenate([idx_cov, idx_sp])
     val = jnp.concatenate([val_cov, val_sp])
-    cnt = cnt.at[idx].add(val)
-    cnt = cnt.at[lay.off_chr : lay.off_chr + lay.n_refids + 1].add(chr_counts)
+    cnt = scatter_add(cnt, idx, val)
+    chrn = counters["chr"] + chr_counts
 
     # --- FragmentsInROI: dense broadcast overlap (tiny table) ---------------
     f_c, f_s, f_e = batch["frag_chrom"], batch["frag_start"], batch["frag_end"]
@@ -197,7 +187,7 @@ def count_step(dref: DeviceRef, counters: dict, batch: dict) -> dict:
     # --- fragment total -----------------------------------------------------
     cnt = cnt.at[lay.off_nf].add(jnp.sum(f_rid >= 0, dtype=jnp.int32))
 
-    return {"cnt": cnt}
+    return {"cnt": cnt, "chr": chrn}
 
 
 def make_count_step():
@@ -208,7 +198,7 @@ def make_count_step():
 def finalize_device(dref: DeviceRef, counters: dict) -> dict:
     """Flat cnt -> named dense counters (diff regions cumsummed, trash slots
     dropped).  Jittable; runs once at end-of-stream."""
-    lay = layout_from_counters(dref, counters)
+    lay = layout_from_counters(dref)
     cnt = counters["cnt"]
 
     def sect2(off, w):
@@ -220,6 +210,6 @@ def finalize_device(dref: DeviceRef, counters: dict) -> dict:
         "depth": depth,
         "span_hits": span_hits,
         "roi_cnt": sect2(lay.off_roi, lay.R + 1)[:, :-1],
-        "chr_frag": cnt[lay.off_chr : lay.off_chr + lay.n_refids],
+        "chr_frag": counters["chr"][:-1],
         "n_frags": cnt[lay.off_nf],
     }

@@ -252,24 +252,30 @@ def init_stacked_counters(sdref: DeviceRef, n_refids: int, n_shards: int) -> dic
     """Counters per genome shard: (G, L) — L from the PADDED layout, equal
     across shards."""
     d0 = jax.tree_util.tree_map(lambda v: v[0], sdref)
-    lay = CounterLayout.build(d0, n_refids)
-    return {"cnt": jnp.zeros((n_shards, lay.total), dtype=jnp.int32)}
+    lay = CounterLayout.build(d0)
+    return {
+        "cnt": jnp.zeros((n_shards, lay.total), dtype=jnp.int32),
+        "chr": jnp.zeros((n_shards, n_refids + 1), dtype=jnp.int32),
+    }
 
 
 def reassemble_counters(
-    ref: CompiledRef, plan: ShardPlan, stacked_cnt: np.ndarray, n_refids: int
+    ref: CompiledRef, plan: ShardPlan, per_shard, n_refids: int
 ) -> dict:
     """Host-side merge: slice each shard's flat cnt with the (uniform padded)
     layout, drop per-shard padding using the plan's real sizes, concatenate in
     chromosome order.  Produces exactly the finalize_device() output an
-    unsharded run yields (tests assert integer equality)."""
+    unsharded run yields (tests assert integer equality).
+
+    per_shard: the merged (G, ...) counters dict ({"cnt", "chr"}); a bare
+    (G, L) cnt array is accepted for backward compatibility only when the chr
+    tally is not needed."""
+    if not isinstance(per_shard, dict):
+        raise TypeError("reassemble_counters now takes the counters dict")
+    stacked_cnt = np.asarray(per_shard["cnt"])
+    stacked_chr = np.asarray(per_shard["chr"])
     pads = plan.pads
-    lay = CounterLayout(
-        mbs=pads["mbs"],
-        P=pads["point"],
-        R=pads["roi"],
-        n_refids=n_refids,
-    )
+    lay = CounterLayout(mbs=pads["mbs"], P=pads["point"], R=pads["roi"])
 
     def sect2(cnt, off, w):
         return cnt[off : off + 2 * w].reshape(2, w)
@@ -284,7 +290,8 @@ def reassemble_counters(
         parts["span_hits"].append(np.cumsum(sp, axis=1)[:, :-1])
         parts["roi_cnt"].append(sect2(cnt, lay.off_roi, lay.R + 1)[:, : r["roi"]])
     out = {k: np.concatenate(v, axis=1).astype(np.int32) for k, v in parts.items()}
-    cnt0 = np.asarray(stacked_cnt[0])
-    out["chr_frag"] = cnt0[lay.off_chr : lay.off_chr + n_refids]
-    out["n_frags"] = cnt0[lay.off_nf]
+    # every genome shard sees the full fragment stream, so shard 0's dense
+    # per-refid tally and fragment total are already the global ones
+    out["chr_frag"] = stacked_chr[0][:n_refids]
+    out["n_frags"] = stacked_cnt[0][lay.off_nf]
     return out

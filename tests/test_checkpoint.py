@@ -74,7 +74,7 @@ def test_restore_rejects_shape_mismatch(tmp_path, ref):
         engine.process_batch(b)
         break
     st = engine._st
-    st.counters = {"cnt": np.zeros(7, np.int32)}  # corrupt shape
+    st.counters = {"cnt": np.zeros(7, np.int32), "chr": st.counters["chr"]}  # corrupt shape
     save_checkpoint(ckpt, st)
     with pytest.raises(ValueError, match="shape mismatch"):
         restore_state(engine, load_checkpoint(ckpt))

@@ -68,9 +68,7 @@ def test_genome_sharded_equals_unsharded(ref, n_shards):
     for b in batches:
         tally_junctions(tally, b)
         counters = step(sdref, counters, b.device_arrays())
-    got = reassemble_counters(
-        ref, plan, np.asarray(counters["cnt"]), len(hdr.ref_names)
-    )
+    got = reassemble_counters(ref, plan, counters, len(hdr.ref_names))
     got["start_cnt"], got["end_cnt"], got["exact_cnt"] = junction_counters(ref, tally)
 
     for k in want:
@@ -105,7 +103,7 @@ def test_dp_x_genome_composed_equals_unsharded(ref):
         tally_junctions(tally, b)
         counters = step(sdref, counters, place_b(pad_batch_to_multiple(b.device_arrays(), n_dp)))
     per_shard = merge_dp(counters)
-    got = reassemble_counters(ref, plan, np.asarray(per_shard["cnt"]), len(hdr.ref_names))
+    got = reassemble_counters(ref, plan, per_shard, len(hdr.ref_names))
     got["start_cnt"], got["end_cnt"], got["exact_cnt"] = junction_counters(ref, tally)
     for k in want:
         np.testing.assert_array_equal(np.asarray(got[k]), want[k], err_msg=k)

@@ -86,8 +86,8 @@ for b in batches:
     gb = make_global_batch(mesh, halves)
     counters = jstep(sdref, counters, gb)
 
-out = jax.jit(lambda c: c, out_shardings=NamedSharding(mesh, P()))(counters["cnt"])
-res = np.asarray(jax.device_get(out)).sum(axis=0)
+gather = jax.jit(lambda c: c, out_shardings=NamedSharding(mesh, P()))
+res = {k: np.asarray(jax.device_get(gather(v))).sum(axis=0) for k, v in counters.items()}
 if jax.process_index() == 0:
     with open(sys.argv[3], "wb") as fh:
         pickle.dump((res, tally), fh)
