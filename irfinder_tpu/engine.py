@@ -97,6 +97,11 @@ class Engine:
         self._step = make_count_step()
         self._finalize = jax.jit(finalize_device)
         self._st: SampleState | None = None
+        # device-side finalize statistics (ops/finalize_stats.py): skip the
+        # O(mbs) depth pull + host flatten on real TPUs; the CPU test backend
+        # keeps the host path so oracle comparisons see the full depth array
+        self._device_stats = jax.default_backend() == "tpu"
+        self._finref = None
 
     # -- lifecycle -----------------------------------------------------------
     def new_state(self, n_refids: int) -> SampleState:
@@ -169,7 +174,10 @@ class Engine:
         st = st or self._st
         t0 = time.perf_counter()
         fin = self._finalize(self.dref, st.counters)
-        out = {k: np.asarray(v) for k, v in fin.items()}
+        out = {
+            k: (v if self._device_stats and k == "depth" else np.asarray(v))
+            for k, v in fin.items()
+        }
         sc, ec, xc = junction_counters(self.ref, st.junc_tally)
         out["start_cnt"], out["end_cnt"], out["exact_cnt"] = sc, ec, xc
         st.metrics.finalize_s += time.perf_counter() - t0
@@ -184,6 +192,28 @@ class Engine:
         st.metrics.flip_strand = bool(flip)
         st.metrics.dir_concordance = float(frac)
         st.metrics.dir_informative = int(n_inf)
+        t0 = time.perf_counter()
+        cache: dict = {}
+        if self._device_stats:
+            # per-intron stats on device: the nondir table needs the
+            # strand-summed plane for every intron; the dir table needs each
+            # annotation-strand subset's plane (flip picks which)
+            from .ops.finalize_stats import build_finalize_ref, device_depth_stats
+
+            if self._finref is None:
+                self._finref = build_finalize_ref(self.ref)
+            depth_dev = fc["depth"]
+            dsum_both = jax.jit(lambda d: (d[0] + d[1]))(depth_dev)
+            cache[2] = device_depth_stats(self.ref, self._finref, dsum_both, "both")
+            plane_a = 1 if flip else 0
+            cache[plane_a] = device_depth_stats(
+                self.ref, self._finref, depth_dev[plane_a], "A"
+            )
+            cache[1 - plane_a] = device_depth_stats(
+                self.ref, self._finref, depth_dev[1 - plane_a], "B"
+            )
+            fc = dict(fc)
+            fc["depth"] = None  # never pulled; all variants precomputed
         args = (
             self.ref,
             fc["depth"],
@@ -192,14 +222,15 @@ class Engine:
             fc["exact_cnt"],
             fc["span_hits"],
         )
-        cache: dict = {}
-        return {
+        out = {
             "counters": fc,
             "rows_nondir": intron_rows(*args, mode="nondir", stats_cache=cache),
             "rows_dir": intron_rows(*args, mode="dir", flip_strand=flip, stats_cache=cache),
             "stranded": stranded,
             "flip_strand": flip,
         }
+        st.metrics.finalize_s += time.perf_counter() - t0
+        return out
 
 
 def open_decoder(

@@ -71,12 +71,17 @@ class DeviceRef:
     roi_chrom: jnp.ndarray
     roi_start: jnp.ndarray
     roi_end: jnp.ndarray
-    # bucketed rank tables (ops/bucket.py) — the hot-path search structures;
+    # bucketed rank tables (ops/bucket.py) — the XLA search structures;
     # the flat sentinel-padded columns above are kept for finalize/tests.
     # (Junction tables have no device structures at all: junction counting is
     # host-side — ops/step.py docstring.)
     uspan_bt: BucketTable  # keys (chrom,start); payload (chrom,start,len,off)
     point_bt: BucketTable  # keys (chrom,coord); rank-only
+    # packed VMEM tables for the fused Pallas rank kernel
+    # (ops/pallas_rank.py); None when the table outgrows the VMEM budget,
+    # in which case the step uses the XLA bucket path above
+    rank_mbs: object = None
+    rank_point: object = None
     # static (non-pytree-leaf) metadata — usable inside jit traces
     mbs_size_static: int = 0
 
@@ -178,6 +183,17 @@ def build_device_ref(ref: CompiledRef, pads: dict | None = None, bucket: int = 1
     )
     point_bt = BucketTable.build((pt_c, pt_v), bucket=bucket)
 
+    # packed tables for the fused Pallas rank kernel, when they fit VMEM
+    from .pallas_rank import MAX_NB, build_rank_tables
+
+    rank_mbs = rank_point = None
+    n_u, n_p = int(len(u_chrom)), int(len(pt_c))
+    if (n_u + 1) <= MAX_NB * 128 and (n_p + 1) <= MAX_NB * 128:
+        rank_mbs = build_rank_tables(
+            u_chrom, u_start, "mbs", len_col=u_len, off_col=u_off
+        )
+        rank_point = build_rank_tables(pt_c, pt_v, "point")
+
     j = jnp.asarray
     return DeviceRef(
         uspan_chrom=j(uc),
@@ -199,6 +215,8 @@ def build_device_ref(ref: CompiledRef, pads: dict | None = None, bucket: int = 1
         roi_end=j(ro[2]),
         uspan_bt=uspan_bt,
         point_bt=point_bt,
+        rank_mbs=rank_mbs,
+        rank_point=rank_point,
         mbs_size_static=mbs_static,
     )
 

@@ -1,0 +1,302 @@
+"""Device-side per-intron depth statistics — the finalize join without the
+depth pull.
+
+The host finalize (finalize._depth_stats_vectorized) needs the full per-base
+depth array: (2, mbs) int32 is ~216 MB, which costs seconds of D2H on a
+tunneled chip and seconds more of host flatten work — it dominated
+end-to-end wall time for chr21-sized runs (config A).  This module computes
+every per-intron statistic ON the device and pulls only O(#introns):
+
+* coverage / mean / edge windows: one cumsum over MBS + gathers at the
+  (static) run and edge-piece boundaries — per-intron sums are differences
+  of prefix sums, aggregated host-side over the tiny run table.
+* exact nearest-rank percentiles: a per-intron depth histogram built by the
+  no-sort Pallas scatter (ops/scatter.hist_scatter_pallas) over the (static)
+  flattened base list, then a (n, CAP) cumsum + threshold count.  Introns
+  whose percentile saturates the CAP-bin histogram fall back to an exact
+  host sort over just their bases (pulled in one batched gather).
+
+All index structure (run boundaries, edge pieces, flattened base lists,
+histogram tile offsets) depends only on the compiled reference, so it is
+built once per Engine (FinalizeRef) and reused across samples/variants.
+
+Statistics are bit-identical to the host path (tests/test_finalize_device.py
+pins them against finalize._depth_stats_vectorized).  Reference parity: this
+is the per-intron depth-statistics half of CoverageBlocksIRFinder::Output
+(SURVEY.md §3.4 [R]).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import semantics as S
+from ..refio.compile import CompiledRef
+from .scatter import TILE, hist_scatter_pallas
+
+#: histogram depth cap (bins per intron).  Must divide the scatter TILE.
+CAP = 2048
+assert TILE % CAP == 0
+
+
+@dataclasses.dataclass
+class _Subset:
+    """Static flattened-base structure for one intron subset."""
+
+    introns: np.ndarray  # (n_sub,) intron ids
+    n_bases: np.ndarray  # (n_sub,) int64 included bases per intron
+    flat_src: jnp.ndarray  # (F,) int32 MBS index of every included base
+    flat_base: jnp.ndarray  # (F,) int32 = local_intron * CAP
+    flat_off: np.ndarray  # (n_sub+1,) int64 flat offset per local intron
+    tile_offs: jnp.ndarray  # (T+1,) int32 update offsets per histogram tile
+    hist_len: int  # padded histogram length (TILE multiple)
+    ridx: jnp.ndarray  # (3, n_sub) nearest-rank target indices
+
+
+@dataclasses.dataclass
+class FinalizeRef:
+    """Device-resident static finalize structure for one CompiledRef."""
+
+    run_lo: jnp.ndarray  # (R,) int32 cumsum gather positions (run start)
+    run_hi: jnp.ndarray  # (R,) int32 (run start + len)
+    run_intron: np.ndarray  # (R,) host int64
+    fw_lo: jnp.ndarray  # edge-window pieces, same layout
+    fw_hi: jnp.ndarray
+    fw_intron: np.ndarray
+    lw_lo: jnp.ndarray
+    lw_hi: jnp.ndarray
+    lw_intron: np.ndarray
+    n_bases: np.ndarray  # (N,) int64
+    subsets: dict  # key in {"both","A","B"} -> _Subset
+
+
+def _edge_pieces(ref: CompiledRef, n_bases: np.ndarray, run_intron: np.ndarray):
+    """Per-intron MBS piece lists covering the first and last
+    min(EDGE_DEPTH_WINDOW, n) included bases, in genomic order.  Fully
+    vectorized: each run's piece is its overlap with the intron-local base
+    window [0, w) (first) / [n-w, n) (last)."""
+    W = S.EDGE_DEPTH_WINDOW
+    lens = ref.run_len.astype(np.int64)
+    starts = ref.run_mbs_start.astype(np.int64)
+    # intron-local base offset of each run (cumsum reset per intron)
+    cl = np.cumsum(lens) - lens
+    seg0 = cl[ref.intron_run_off[:-1].astype(np.int64)] if lens.size else np.zeros(0, np.int64)
+    b0 = cl - (seg0[run_intron] if lens.size else 0)
+    n = n_bases[run_intron]
+    w = np.minimum(W, n)
+
+    def pieces(win_lo, win_hi):
+        p_lo = np.maximum(b0, win_lo)
+        p_hi = np.minimum(b0 + lens, win_hi)
+        m = p_hi > p_lo
+        lo = (starts + (p_lo - b0))[m].astype(np.int32)
+        hi = (starts + (p_hi - b0))[m].astype(np.int32)
+        return jnp.asarray(lo), jnp.asarray(hi), run_intron[m]
+
+    f = pieces(np.zeros_like(w), w)
+    l = pieces(n - w, n)
+    return (*f, *l)
+
+
+def _build_subset(ref: CompiledRef, introns: np.ndarray, n_bases: np.ndarray) -> _Subset:
+    """Flatten the subset's runs into a per-base MBS index list (intron
+    order), plus histogram tile offsets (static: CAP | TILE, so each intron's
+    bins live in exactly one tile and the intron-ordered updates are already
+    tile-grouped)."""
+    off = ref.intron_run_off.astype(np.int64)
+    counts = off[introns + 1] - off[introns]
+    tot_runs = int(counts.sum())
+    rep = np.repeat(np.cumsum(counts) - counts, counts)
+    runs = np.repeat(off[introns], counts) + (np.arange(tot_runs, dtype=np.int64) - rep)
+    lens = ref.run_len[runs].astype(np.int64)
+    starts = ref.run_mbs_start[runs].astype(np.int64)
+    total = int(lens.sum())
+    if total:
+        rep_off = np.repeat(np.cumsum(lens) - lens, lens)
+        pos = np.arange(total, dtype=np.int64) - rep_off
+        flat_src = (np.repeat(starts, lens) + pos).astype(np.int32)
+    else:
+        flat_src = np.zeros(0, np.int32)
+    nb = n_bases[introns].astype(np.int64)
+    flat_off = np.concatenate([[0], np.cumsum(nb)])
+    flat_base = np.repeat(
+        np.arange(introns.size, dtype=np.int64) * CAP, nb
+    ).astype(np.int32)
+    hist_len = -(-max(introns.size, 1) * CAP // TILE) * TILE
+    T = hist_len // TILE
+    ipt = TILE // CAP  # introns per tile
+    bounds = np.minimum(np.arange(T + 1) * ipt, introns.size)
+    tile_offs = flat_off[bounds].astype(np.int32)
+    return _Subset(
+        introns=introns,
+        n_bases=nb,
+        flat_src=jnp.asarray(flat_src),
+        flat_base=jnp.asarray(flat_base),
+        flat_off=flat_off,
+        tile_offs=jnp.asarray(tile_offs),
+        hist_len=hist_len,
+        ridx=jnp.asarray(_ridx(nb)),
+    )
+
+
+def build_finalize_ref(ref: CompiledRef) -> FinalizeRef:
+    cached = getattr(ref, "_finalize_ref_cache", None)
+    if cached is not None:
+        return cached
+    n_bases = np.zeros(ref.n_introns, np.int64)
+    run_intron = np.repeat(
+        np.arange(ref.n_introns), np.diff(ref.intron_run_off).astype(np.int64)
+    )
+    np.add.at(n_bases, run_intron, ref.run_len.astype(np.int64))
+    fw = _edge_pieces(ref, n_bases, run_intron)
+    istrand = ref.intron_strand.astype(np.int64)
+    subsets = {
+        "both": _build_subset(ref, np.arange(ref.n_introns), n_bases),
+        "A": _build_subset(ref, np.nonzero(istrand == 0)[0], n_bases),
+        "B": _build_subset(ref, np.nonzero(istrand == 1)[0], n_bases),
+    }
+    j = jnp.asarray
+    out = FinalizeRef(
+        run_lo=j(ref.run_mbs_start.astype(np.int32)),
+        run_hi=j((ref.run_mbs_start + ref.run_len).astype(np.int32)),
+        run_intron=run_intron,
+        fw_lo=fw[0], fw_hi=fw[1], fw_intron=fw[2],
+        lw_lo=fw[3], lw_hi=fw[4], lw_intron=fw[5],
+        n_bases=n_bases,
+        subsets=subsets,
+    )
+    try:
+        object.__setattr__(ref, "_finalize_ref_cache", out)
+    except Exception:
+        pass
+    return out
+
+
+@jax.jit
+def _device_sums(dsum, run_lo, run_hi, fw_lo, fw_hi, lw_lo, lw_hi):
+    """One cumsum over MBS, then every per-run / per-piece sum is a prefix
+    difference.
+
+    The prefix itself may exceed 2^31 on deep whole-genome runs, but int32
+    wraparound subtraction still yields the exact per-run sum as long as each
+    individual run's depth sum fits in int31 (two's-complement modular
+    arithmetic) — the same bound the counters themselves already assume."""
+    cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(dsum, dtype=jnp.int32)])
+    csnz = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum((dsum != 0).astype(jnp.int32), dtype=jnp.int32)]
+    )
+    return (
+        jnp.take(cs, run_hi) - jnp.take(cs, run_lo),
+        jnp.take(csnz, run_hi) - jnp.take(csnz, run_lo),
+        jnp.take(cs, fw_hi) - jnp.take(cs, fw_lo),
+        jnp.take(cs, lw_hi) - jnp.take(cs, lw_lo),
+    )
+
+
+import functools
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_sub", "hist_len", "cap", "interpret")
+)
+def _hist_jit(dsum, flat_src, flat_base, tile_offs, ridx, n_sub, hist_len, cap, interpret):
+    vals = jnp.take(dsum, flat_src)
+    hidx = flat_base + jnp.clip(vals, 0, cap - 1)
+    hist = hist_scatter_pallas(
+        jnp.zeros(hist_len, jnp.int32), hidx, tile_offs, interpret=interpret
+    )
+    hcs = jnp.cumsum(hist[: n_sub * cap].reshape(n_sub, cap), axis=1, dtype=jnp.int32)
+    # percentile value = smallest bin v with hcs[v] >= ridx+1
+    pk = jnp.stack(
+        [
+            jnp.sum(hcs < (ridx[k][:, None] + 1), axis=1, dtype=jnp.int32)
+            for k in range(3)
+        ]
+    )
+    return pk, vals
+
+
+def _device_hist(dsum, sub: _Subset, ridx, interpret: bool):
+    """Per-intron clamped depth histogram -> nearest-rank percentile values.
+    ridx: (3, n_sub) target rank indices.  Returns (pk (3, n_sub), vals)."""
+    return _hist_jit(
+        dsum, sub.flat_src, sub.flat_base, sub.tile_offs, ridx,
+        n_sub=sub.introns.size, hist_len=sub.hist_len, cap=CAP,
+        interpret=interpret,
+    )
+
+
+def _ridx(n_bases: np.ndarray) -> np.ndarray:
+    qs = (0.25, 0.50, 0.75)
+    n = n_bases.astype(np.int64)
+    out = np.zeros((3, n.size), np.int64)
+    for k, q in enumerate(qs):
+        out[k] = np.minimum(np.maximum(n - 1, 0), np.maximum(0, np.ceil(q * n).astype(np.int64) - 1))
+    return out
+
+
+def device_depth_stats(
+    ref: CompiledRef,
+    finref: FinalizeRef,
+    dsum_dev,
+    subset_key: str,
+    interpret: bool = False,
+):
+    """Full 7-tuple of per-intron stats for one depth plane, matching
+    finalize._depth_stats_vectorized bit-for-bit.  dsum_dev: device (mbs,)
+    int32.  Stats are n_introns-sized with entries outside the subset zero."""
+    N = ref.n_introns
+    sub = finref.subsets[subset_key]
+    run_sum, run_nz, fw_sum, lw_sum = (
+        np.asarray(v)
+        for v in _device_sums(
+            dsum_dev, finref.run_lo, finref.run_hi,
+            finref.fw_lo, finref.fw_hi, finref.lw_lo, finref.lw_hi,
+        )
+    )
+    sums = np.zeros(N, np.int64)
+    nzs = np.zeros(N, np.int64)
+    np.add.at(sums, finref.run_intron, run_sum)
+    np.add.at(nzs, finref.run_intron, run_nz)
+    fws = np.zeros(N, np.int64)
+    lws = np.zeros(N, np.int64)
+    np.add.at(fws, finref.fw_intron, fw_sum)
+    np.add.at(lws, finref.lw_intron, lw_sum)
+
+    nb = finref.n_bases
+    nz_mask = nb > 0
+    cov = np.zeros(N)
+    mean = np.zeros(N)
+    firstw = np.zeros(N)
+    lastw = np.zeros(N)
+    cov[nz_mask] = nzs[nz_mask] / nb[nz_mask]
+    mean[nz_mask] = sums[nz_mask] / nb[nz_mask]
+    w = np.minimum(S.EDGE_DEPTH_WINDOW, nb)
+    firstw[nz_mask] = fws[nz_mask] / w[nz_mask]
+    lastw[nz_mask] = lws[nz_mask] / w[nz_mask]
+
+    p = np.zeros((3, N), np.int64)
+    if sub.introns.size:
+        pk_dev, vals_dev = _device_hist(dsum_dev, sub, sub.ridx, interpret)
+        pk = np.asarray(pk_dev).astype(np.int64)
+        # saturated percentiles: exact host sort over just those bases
+        sat = np.nonzero(((pk >= CAP - 1).any(axis=0)) & (sub.n_bases > 0))[0]
+        if sat.size:
+            # one batched pull of just the saturated introns' bases
+            take_idx = np.concatenate(
+                [np.arange(sub.flat_off[i], sub.flat_off[i + 1]) for i in sat]
+            )
+            pulled = np.asarray(jnp.take(vals_dev, jnp.asarray(take_idx)))
+            off = np.concatenate([[0], np.cumsum(sub.n_bases[sat])])
+            for j_, i_loc in enumerate(sat):
+                d = np.sort(pulled[off[j_] : off[j_ + 1]])
+                for k, q in enumerate((0.25, 0.50, 0.75)):
+                    r = min(d.size - 1, max(0, int(np.ceil(q * d.size)) - 1))
+                    pk[k, i_loc] = d[r]
+        for k in range(3):
+            p[k, sub.introns] = np.where(sub.n_bases > 0, pk[k], 0)
+    return cov, mean, p[0], p[1], p[2], firstw, lastw

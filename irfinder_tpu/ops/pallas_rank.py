@@ -1,0 +1,338 @@
+"""Pallas TPU rank kernel — fused measured-base-space + boundary-point ranks.
+
+The XLA bucketed-rank path (ops/bucket.py) spends most of the counting step
+shuffling (Q,128) row-gather intermediates through HBM (~5.7 ms/batch for the
+four rank passes).  This kernel keeps the search tables resident in VMEM and
+computes all four ranks per aligned block (MBS rank of both edges + spans
+rank of both overhang points) in one pass over the block stream, so the only
+HBM traffic is the query columns in and four rank columns out.
+
+Two TPU-native reformulations make this fast:
+
+1. **Gather = one-hot int8 matmul.**  Mosaic has no vectorized VMEM gather,
+   but selecting bucket rows is a contraction: rows = onehot(b) @ table.
+   int32 columns are split into int8 planes, biased by -128 so they fit the
+   signed int8 MXU, and recombined exactly after the matmul (int8 x int8 ->
+   int32 accumulate is exact).
+
+2. **Rank = prefix constant + in-bucket contribution sum.**  Because MBS
+   spans are disjoint and sorted, every span entirely before the descent
+   bucket contributes its full length, so
+       mbs_rank(q) = cumlen[b] + sum_{k in bucket b} clip(qp - start_k, 0, len_k)
+   with the sum masked by chromosome compare — no entry() select, no
+   rank-1 boundary cases at all.  Point ranks are the counting special case:
+       point_rank(q) = 128*b + #{k in bucket b : key_k (< or <=) q}.
+
+Tables use a fixed 3-level structure (top <=128 dense keys -> mid (nb2,128)
+-> bottom (nb,128)); the host packs them once per DeviceRef
+(build_rank_tables).  The kernel is engaged when the packed tables fit a
+VMEM budget (always true for per-chromosome-sharded maps); otherwise the
+step falls back to the XLA bucket path.
+
+Semantics are pinned to ops/bucket.py's rank() bit-for-bit in
+tests/test_pallas_rank.py.  Reference parity: replaces the sorted-map lookups
+of the historical ReadBlockProcessor*.cpp (SURVEY.md §2 rows 10-12).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bucket import PAD_KEY
+
+#: queries per grid step (the (QCHUNK, groups*128) int32 gather output is the
+#: dominant VMEM tenant; 1024 keeps the kernel under the 16MB scoped limit)
+QCHUNK = 1024
+#: bottom buckets above which the packed tables / one-hot matrices outgrow
+#: VMEM and the step keeps the XLA bucket path (per-shard maps stay far
+#: below this)
+MAX_NB = 1024
+
+
+def _planes(col: np.ndarray, n: int) -> list:
+    """int32 column -> n unsigned 8-bit planes, biased to signed int8."""
+    out = []
+    for s in range(n):
+        p = (col.astype(np.int64) >> (8 * s)) & 0xFF
+        out.append((p - 128).astype(np.int8))
+    return out
+
+
+def _pack_rows(cols_planes: list, nb: int) -> np.ndarray:
+    """Stack plane columns (each (nb*128,)) into the (nb, n_groups*128) int8
+    concatenated table the kernel matmuls against."""
+    mats = [p.reshape(nb, 128) for p in cols_planes]
+    return np.concatenate(mats, axis=1)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class RankTables:
+    """VMEM-resident 3-level search structure for one key table.
+
+    kind 'mbs':   keys (chrom, start) + payload (len, cumlen-prefix)
+    kind 'point': keys (chrom, coord), count-only
+    """
+
+    top_chrom: jnp.ndarray  # (1, nb2p) int32 — last key of each mid bucket
+    top_key: jnp.ndarray
+    mid_cat: jnp.ndarray  # (nb2p, 6*128) int8 — chrom(2)+key(4) planes
+    bot_cat: jnp.ndarray  # (nbp, G*128) int8
+    nb: int  # real bottom buckets (descent can never exceed nb-1)
+    nbp: int  # padded rows of bot_cat
+    nb2p: int  # padded rows of mid_cat / lanes of top
+    kind: str
+
+    def tree_flatten(self):
+        return (
+            (self.top_chrom, self.top_key, self.mid_cat, self.bot_cat),
+            (self.nb, self.nbp, self.nb2p, self.kind),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
+def build_rank_tables(chrom, key, kind: str, len_col=None, off_col=None):
+    """Host-side packing.  chrom/key sorted lex ascending, int32.
+
+    kind='point': descent counts buckets whose LAST key satisfies the side
+    predicate, so earlier buckets contribute exactly 128 each (pure
+    searchsorted counting).
+
+    kind='mbs': the in-row sum must run over the bucket holding the LAST KEY
+    <= q (a span that only partially precedes q can be a bucket's last key,
+    so last-key descent would wrongly bank its full length into the prefix).
+    The mid/top levels therefore hold bucket FIRST keys: the prefix count of
+    first-keys <= q, minus one, is that bucket's index.  len_col is the span
+    length and off_col the global MBS offset of each span; cumlen per bucket
+    (= off of the bucket's first span) is exact because every span in an
+    earlier bucket lies entirely before the partial span."""
+    chrom = np.asarray(chrom, np.int32)
+    key = np.asarray(key, np.int32)
+    n = chrom.shape[0]
+    # always >= 1 sentinel entry so descent can never select a bucket past
+    # the last one containing a real key
+    nb = _round_up(n + 1, 128) // 128
+    pad = nb * 128 - n
+    # sentinel padding: lex +inf keys, zero payload
+    chrom_p = np.concatenate([chrom, np.full(pad, PAD_KEY, np.int32)])
+    key_p = np.concatenate([key, np.zeros(pad, np.int32)])
+    groups = _planes(chrom_p, 2) + _planes(key_p, 4)
+    if kind == "mbs":
+        ln = np.concatenate([np.asarray(len_col, np.int32), np.zeros(pad, np.int32)])
+        off = np.asarray(off_col, np.int64)
+        total = int(off[-1] + len_col[-1]) if n else 0
+        cuml = np.zeros(nb, np.int64)
+        for b in range(nb):
+            i = b * 128
+            cuml[b] = off[i] if i < n else total
+        groups += _planes(ln, 3)
+        # cumlen rides in lanes 0..3 of one extra group (4 biased planes)
+        cgroup = np.full((nb, 128), -128, np.int8)
+        cp = _planes(cuml.astype(np.int64), 4)
+        for s in range(4):
+            cgroup[:, s] = cp[s].astype(np.int8)
+        mats = [p.reshape(nb, 128) for p in groups]
+        bot = np.concatenate(mats + [cgroup], axis=1)
+    else:
+        bot = _pack_rows(groups, nb)
+
+    # mid level: one key per bottom bucket (first for mbs, last for point)
+    lane = 0 if kind == "mbs" else 127
+    m_chrom = chrom_p.reshape(nb, 128)[:, lane]
+    m_key = key_p.reshape(nb, 128)[:, lane]
+    nb2 = _round_up(nb, 128) // 128
+    pad2 = nb2 * 128 - nb
+    m_chrom = np.concatenate([m_chrom, np.full(pad2, PAD_KEY, np.int32)])
+    m_key = np.concatenate([m_key, np.zeros(pad2, np.int32)])
+    mid = _pack_rows(_planes(m_chrom, 2) + _planes(m_key, 4), nb2)
+
+    # top level: last entry of each mid row (prefix-dense for both kinds
+    # because the mid array itself is sorted), dense-compared in the kernel
+    t_chrom = m_chrom.reshape(nb2, 128)[:, -1]
+    t_key = m_key.reshape(nb2, 128)[:, -1]
+    nb2p = _round_up(nb2, 128)
+    t_chrom = np.concatenate([t_chrom, np.full(nb2p - nb2, PAD_KEY, np.int32)])
+    t_key = np.concatenate([t_key, np.zeros(nb2p - nb2, np.int32)])
+
+    # pad bottom rows to a sublane multiple for clean VMEM layout
+    nbp = _round_up(nb, 8)
+    if nbp != nb:
+        botp = np.full((nbp, bot.shape[1]), -128, np.int8)
+        botp[:nb] = bot
+        # padded rows must behave as +inf-key sentinels if ever gathered;
+        # descent never reaches them (b <= nb-1), so plane content is moot
+        bot = botp
+    nb2pp = _round_up(nb2, 8)
+    if nb2pp != nb2:
+        midp = np.full((nb2pp, mid.shape[1]), -128, np.int8)
+        midp[:nb2] = mid
+        mid = midp
+
+    j = jnp.asarray
+    return RankTables(
+        top_chrom=j(t_chrom.reshape(1, nb2p)),
+        top_key=j(t_key.reshape(1, nb2p)),
+        mid_cat=j(mid),
+        bot_cat=j(bot),
+        nb=nb,
+        nbp=bot.shape[0],
+        nb2p=nb2p,
+        kind=kind,
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernel helpers (traced inside the pallas kernel)
+# ---------------------------------------------------------------------------
+
+
+def _recombine(g, base, n):
+    """Gathered biased planes (Q,128) x n starting at group `base` -> int32."""
+    out = g[:, base * 128 : (base + 1) * 128] + 128
+    for s in range(1, n):
+        out = out + ((g[:, (base + s) * 128 : (base + s + 1) * 128] + 128) << (8 * s))
+    return out
+
+
+def _lex_le(c, k, qc, qk, or_equal):
+    lt = (c < qc) | ((c == qc) & (k < qk))
+    if or_equal:
+        return lt | ((c == qc) & (k == qk))
+    return lt
+
+
+def _gather(cat_ref, b, nbp):
+    """rows = onehot(b) @ cat, exact int32 plane sums.  b: (Q,1) int32."""
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (b.shape[0], nbp), 1) == b
+    ).astype(jnp.int8)
+    return jax.lax.dot_general(
+        oh,
+        cat_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _descend(tt_c, tt_k, mid_ref, t: RankTables, qc, qk, or_equal):
+    """3-level descent -> bottom bucket index b (Q,1)."""
+    b2 = jnp.sum(
+        _lex_le(tt_c, tt_k, qc, qk, or_equal), axis=1, keepdims=True
+    ).astype(jnp.int32)
+    gm = _gather(mid_ref, b2, mid_ref.shape[0])
+    mc = _recombine(gm, 0, 2)
+    mk = _recombine(gm, 2, 4)
+    c2 = jnp.sum(
+        _lex_le(mc, mk, qc, qk, or_equal), axis=1, keepdims=True
+    ).astype(jnp.int32)
+    return b2 * 128 + c2
+
+
+def _make_kernel(mbs_t: RankTables, pt_t: RankTables, overhang: int):
+    OH = overhang
+
+    def kernel(
+        qc_ref, qs_ref, qe_ref,
+        m_top_c, m_top_k, m_mid, m_bot,
+        p_top_c, p_top_k, p_mid, p_bot,
+        lo_ref, hi_ref, plo_ref, phi_ref,
+    ):
+        qc = qc_ref[:]  # (Q,1)
+
+        def mbs_rank(qk):
+            # first-key prefix count - 1 = bucket of the last key <= q
+            cnt = _descend(m_top_c[:], m_top_k[:], m_mid, mbs_t, qc, qk, True)
+            b = jnp.maximum(cnt - 1, 0)
+            g = _gather(m_bot, b, mbs_t.nbp)
+            bc = _recombine(g, 0, 2)
+            bs = _recombine(g, 2, 4)
+            bl = _recombine(g, 6, 3)
+            # cumlen planes sit in lanes 0..3 of group 9 (other lanes are
+            # biased zeros); extract by masked row-sum — single-lane slices
+            # at unaligned offsets miscompile on real hardware
+            cg = g[:, 9 * 128 : 10 * 128] + 128
+            lane = jax.lax.broadcasted_iota(jnp.int32, cg.shape, 1)
+            cuml = jnp.zeros((cg.shape[0], 1), jnp.int32)
+            for s in range(4):
+                p = jnp.sum(jnp.where(lane == s, cg, 0), axis=1, keepdims=True)
+                cuml = cuml + (p << (8 * s))
+            within = jnp.clip(qk - bs, 0, bl)
+            contrib = jnp.where(bc == qc, within, jnp.where(bc < qc, bl, 0))
+            return cuml + jnp.sum(contrib, axis=1, keepdims=True).astype(jnp.int32)
+
+        def point_rank(qk, or_equal):
+            b = _descend(p_top_c[:], p_top_k[:], p_mid, pt_t, qc, qk, or_equal)
+            g = _gather(p_bot, b, pt_t.nbp)
+            bc = _recombine(g, 0, 2)
+            bk = _recombine(g, 2, 4)
+            cnt = jnp.sum(
+                _lex_le(bc, bk, qc, qk, or_equal), axis=1, keepdims=True
+            ).astype(jnp.int32)
+            return b * 128 + cnt
+
+        qs = qs_ref[:]
+        qe = qe_ref[:]
+        lo_ref[:] = mbs_rank(qs)
+        hi_ref[:] = mbs_rank(qe)
+        plo_ref[:] = point_rank(qs + OH, False)  # side='left'
+        phi_ref[:] = point_rank(qe - OH, True)  # side='right'
+
+    return kernel
+
+
+def block_ranks_pallas(
+    mbs_t: RankTables,
+    pt_t: RankTables,
+    blk_chrom,
+    blk_start,
+    blk_end,
+    overhang: int,
+    interpret: bool = False,
+):
+    """All four per-block ranks in one fused kernel.
+
+    Returns (lo, hi, plo, phi) int32 (B,) — raw ranks; the caller applies
+    pad/validity masking exactly as with the XLA path.
+    """
+    B = blk_chrom.shape[0]
+    Bp = _round_up(B, QCHUNK)
+    if Bp != B:
+        padc = jnp.full(Bp - B, -1, jnp.int32)
+        pad0 = jnp.zeros(Bp - B, jnp.int32)
+        blk_chrom = jnp.concatenate([blk_chrom, padc])
+        blk_start = jnp.concatenate([blk_start, pad0])
+        blk_end = jnp.concatenate([blk_end, pad0])
+    n_chunks = Bp // QCHUNK
+
+    qspec = pl.BlockSpec((QCHUNK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _make_kernel(mbs_t, pt_t, overhang),
+        grid=(n_chunks,),
+        in_specs=[qspec] * 3 + [tspec] * 8,
+        out_specs=(qspec,) * 4,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((Bp, 1), jnp.int32) for _ in range(4)
+        ),
+        interpret=interpret,
+    )(
+        blk_chrom.reshape(Bp, 1),
+        blk_start.reshape(Bp, 1),
+        blk_end.reshape(Bp, 1),
+        mbs_t.top_chrom, mbs_t.top_key, mbs_t.mid_cat, mbs_t.bot_cat,
+        pt_t.top_chrom, pt_t.top_key, pt_t.mid_cat, pt_t.bot_cat,
+    )
+    return tuple(o.reshape(Bp)[:B] for o in outs)

@@ -16,9 +16,10 @@ TPU-native reformulation (this module):
    * val(q), so `acc += A^T @ B` scatters the whole window exactly
    ((TILE/128, W) @ (W, 128) int8 -> int32; integer MXU accumulate is exact).
 
-The B one-hot matrix is prebuilt on the XLA side (one vectorized int8 pass)
-so the kernel needs no in-kernel transposes; A^T is built in-kernel from the
-sorted index stream with a single broadcasted-iota compare per window.
+Both one-hot factors are built in-kernel from the sorted index stream with
+broadcasted-iota compares; B is built TRANSPOSED (lane layout, which the VPU
+can produce directly — TPU has no sublane reshape) and the dot contracts
+both operands on the update axis.
 
 Everything is integer and each update is applied exactly once, so the result
 is bit-identical to the XLA scatter (tested against it and against NumPy in
@@ -49,7 +50,7 @@ def pad_len(n: int) -> int:
     return -(-n // TILE) * TILE
 
 
-def _apply_kernel(offs_ref, idx_hbm, b_hbm, cnt_in, cnt_out, idx_s, b_s, acc, sem_i, sem_b):
+def _apply_kernel(offs_ref, idx_hbm, val_hbm, cnt_in, cnt_out, idx_s, val_s, acc, sem_i, sem_v):
     t = pl.program_id(0)
     u0 = offs_ref[t]
     u1 = offs_ref[t + 1]
@@ -61,23 +62,28 @@ def _apply_kernel(offs_ref, idx_hbm, b_hbm, cnt_in, cnt_out, idx_s, b_s, acc, se
     w_end = (u1 + W - 1) // W
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    lane_iota_t = jax.lax.broadcasted_iota(jnp.int32, (128, W), 0)
     base = t * TILE
 
     def body(w, _):
         ci = pltpu.make_async_copy(idx_hbm.at[w], idx_s, sem_i)
-        cb = pltpu.make_async_copy(b_hbm.at[pl.ds(w * W, W), :], b_s, sem_b)
+        cv = pltpu.make_async_copy(val_hbm.at[w], val_s, sem_v)
         ci.start()
-        cb.start()
+        cv.start()
         ci.wait()
-        cb.wait()
+        cv.wait()
         gpos = w * W + lane_iota  # (1, W) global update positions
         valid = (gpos >= u0) & (gpos < u1)
-        rq = (idx_s[:].reshape(1, W) - base) >> 7  # (1, W) tile-local rows
+        idx = idx_s[:].reshape(1, W)
+        rq = (idx - base) >> 7  # (1, W) tile-local rows
         a_t = jnp.where((row_iota == rq) & valid, 1, 0).astype(jnp.int8)
+        # B transposed, built in lane layout (no sublane reshape on TPU):
+        # B_T[l, q] = onehot(lane(q)) * val(q); contract both operands on q
+        b_t = jnp.where(lane_iota_t == (idx & 127), val_s[:].reshape(1, W), 0).astype(jnp.int8)
         acc[:] += jax.lax.dot_general(
             a_t,
-            b_s[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            b_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
         return 0
@@ -112,15 +118,8 @@ def scatter_add_pallas(cnt, idx, val, interpret: bool = False):
     bounds = jax.lax.iota(jnp.int32, T + 1) * TILE
     offs = jnp.searchsorted(idx_s, bounds, side="left").astype(jnp.int32)
 
-    # prebuild the lane one-hot B (n_pad, 128) int8 on the XLA side — one
-    # vectorized pass, and the kernel then needs no transposes at all
-    lane = (idx_s & 127)[:, None]
-    b_mat = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (n_pad, 128), 1) == lane,
-        val_s[:, None],
-        0,
-    ).astype(jnp.int8)
     idx2d = idx_s.reshape(n_pad // W, 8, W // 8)
+    val2d = val_s.reshape(n_pad // W, 8, W // 8)
 
     rows = TILE // 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -128,13 +127,13 @@ def scatter_add_pallas(cnt, idx, val, interpret: bool = False):
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # idx2d (stays in HBM, DMA'd)
-            pl.BlockSpec(memory_space=pl.ANY),  # b_mat (stays in HBM, DMA'd)
+            pl.BlockSpec(memory_space=pl.ANY),  # val2d (stays in HBM, DMA'd)
             pl.BlockSpec((rows, 128), lambda t, s: (t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rows, 128), lambda t, s: (t, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((8, W // 8), jnp.int32),
-            pltpu.VMEM((W, 128), jnp.int8),
+            pltpu.VMEM((8, W // 8), jnp.int32),
             pltpu.VMEM((rows, 128), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -146,7 +145,7 @@ def scatter_add_pallas(cnt, idx, val, interpret: bool = False):
         grid_spec=grid_spec,
         input_output_aliases={3: 0},  # cnt (after the scalar-prefetch operand)
         interpret=interpret,
-    )(offs, idx2d, b_mat, cnt.reshape(M // 128, 128))
+    )(offs, idx2d, val2d, cnt.reshape(M // 128, 128))
     return out.reshape(M)
 
 
@@ -156,3 +155,85 @@ def scatter_add(cnt, idx, val):
     if cnt.shape[0] % TILE == 0 and jax.default_backend() == "tpu":
         return scatter_add_pallas(cnt, idx, val)
     return cnt.at[idx].add(val)
+
+
+# ---------------------------------------------------------------------------
+# pre-binned +1 histogram scatter (finalize percentiles, ops/finalize_stats)
+# ---------------------------------------------------------------------------
+
+
+def _hist_kernel(offs_ref, idx_hbm, cnt_in, cnt_out, idx_s, acc, sem_i):
+    t = pl.program_id(0)
+    u0 = offs_ref[t]
+    u1 = offs_ref[t + 1]
+    rows = TILE // 128
+
+    acc[:] = jnp.zeros_like(acc)
+    w_start = u0 // W
+    w_end = (u1 + W - 1) // W
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    lane_iota_t = jax.lax.broadcasted_iota(jnp.int32, (128, W), 0)
+    base = t * TILE
+
+    def body(w, _):
+        ci = pltpu.make_async_copy(idx_hbm.at[w], idx_s, sem_i)
+        ci.start()
+        ci.wait()
+        gpos = w * W + lane_iota
+        valid = (gpos >= u0) & (gpos < u1)
+        idx = idx_s[:].reshape(1, W)
+        rq = (idx - base) >> 7
+        a_t = jnp.where((row_iota == rq) & valid, 1, 0).astype(jnp.int8)
+        b_t = (lane_iota_t == (idx & 127)).astype(jnp.int8)  # all vals are +1
+        acc[:] += jax.lax.dot_general(
+            a_t, b_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return 0
+
+    jax.lax.fori_loop(w_start, w_end, body, 0)
+    cnt_out[:] = cnt_in[:] + acc[:]
+
+
+def hist_scatter_pallas(cnt, idx, tile_offs, interpret: bool = False):
+    """cnt.at[idx].add(1) for PRE-BINNED indices: idx must already be grouped
+    by cnt tile (tile t's updates contiguous at [tile_offs[t], tile_offs[t+1])
+    — true by construction for the finalize histograms, whose flat base list
+    is intron-ordered and CAP divides TILE).  No device sort.
+
+    cnt: int32 (M,), M a TILE multiple.  idx int32 (N,).  tile_offs int32
+    (M//TILE + 1,) update offsets per tile."""
+    M = cnt.shape[0]
+    assert M % TILE == 0
+    T = M // TILE
+    N = idx.shape[0]
+    n_pad = -(-max(N, 1) // W) * W
+    if n_pad != N:
+        idx = jnp.concatenate([idx, jnp.full(n_pad - N, M, jnp.int32)])
+    idx2d = idx.reshape(n_pad // W, 8, W // 8)
+
+    rows = TILE // 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((rows, 128), lambda t, s: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, 128), lambda t, s: (t, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8, W // 8), jnp.int32),
+            pltpu.VMEM((rows, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        _hist_kernel,
+        out_shape=jax.ShapeDtypeStruct((M // 128, 128), jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(tile_offs, idx2d, cnt.reshape(M // 128, 128))
+    return out.reshape(M)

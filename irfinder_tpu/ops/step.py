@@ -130,21 +130,37 @@ def count_step(dref: DeviceRef, counters: dict, batch: dict) -> dict:
     blk_st = batch["blk_strand"]
     B = blk_c.shape[0]
 
-    # --- CoverageBlocks: MBS rank of both block edges in one bucketed pass --
-    r2 = mbs_rank(
-        dref,
-        jnp.concatenate([blk_c, blk_c]),
-        jnp.concatenate([blk_s, blk_e]),
-    )
-    lo, hi = r2[:B], r2[B:]
+    use_pallas = dref.rank_mbs is not None and jax.default_backend() == "tpu"
+    if use_pallas:
+        # fused Pallas kernel: all four ranks in one VMEM-resident pass
+        # (ops/pallas_rank.py); identical to the XLA path below bit-for-bit
+        from .pallas_rank import block_ranks_pallas
+
+        lo_r, hi_r, plo, phi = block_ranks_pallas(
+            dref.rank_mbs, dref.rank_point, blk_c, blk_s, blk_e,
+            int(S.SPANS_OVERHANG),
+        )
+        mbs = dref.uspan_off[-1]
+        lo = jnp.where(blk_c >= 0, lo_r, mbs)
+        hi = jnp.where(blk_c >= 0, hi_r, mbs)
+    else:
+        # --- CoverageBlocks: MBS rank of both edges in one bucketed pass ----
+        r2 = mbs_rank(
+            dref,
+            jnp.concatenate([blk_c, blk_c]),
+            jnp.concatenate([blk_s, blk_e]),
+        )
+        lo, hi = r2[:B], r2[B:]
+        OH = jnp.int32(S.SPANS_OVERHANG)
+        plo = dref.point_bt.rank((blk_c, blk_s + OH), side="left")
+        phi = dref.point_bt.rank((blk_c, blk_e - OH), side="right")
+
     dd_base = lay.off_dd + blk_st * lay.w_dd
     idx_cov = jnp.concatenate([dd_base + lo, dd_base + hi])
     val_cov = jnp.concatenate([jnp.ones(B, jnp.int32), jnp.full(B, -1, jnp.int32)])
 
-    # --- SpansPoint: bucketed rank-range diff over boundary points ----------
+    # --- SpansPoint: rank-range diff over boundary points -------------------
     OH = jnp.int32(S.SPANS_OVERHANG)
-    plo = dref.point_bt.rank((blk_c, blk_s + OH), side="left")
-    phi = dref.point_bt.rank((blk_c, blk_e - OH), side="right")
     ok = (blk_c >= 0) & (blk_e - blk_s >= 2 * OH)
     plo = jnp.where(ok, plo, lay.P)
     phi = jnp.where(ok, phi, lay.P)
