@@ -241,15 +241,21 @@ def _descend(tt_c, tt_k, mid_ref, t: RankTables, qc, qk, or_equal):
     return b2 * 128 + c2
 
 
-def _make_kernel(mbs_t: RankTables, pt_t: RankTables, overhang: int):
+def _make_kernel(mbs_t: RankTables, pt_t: RankTables, overhang: int, pw: int, sp_rows: int):
     OH = overhang
 
     def kernel(
-        qc_ref, qs_ref, qe_ref,
+        qc_ref, qs_ref, qe_ref, qt_ref,
         m_top_c, m_top_k, m_mid, m_bot,
         p_top_c, p_top_k, p_mid, p_bot,
-        lo_ref, hi_ref, plo_ref, phi_ref,
+        lo_ref, hi_ref, sp_ref,
     ):
+        # the spans diff section (2, pw) stays resident across the whole grid
+        # (constant-index output block); zero it on the first chunk
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            sp_ref[:] = jnp.zeros_like(sp_ref)
+
         qc = qc_ref[:]  # (Q,1)
 
         def mbs_rank(qk):
@@ -287,8 +293,30 @@ def _make_kernel(mbs_t: RankTables, pt_t: RankTables, overhang: int):
         qe = qe_ref[:]
         lo_ref[:] = mbs_rank(qs)
         hi_ref[:] = mbs_rank(qe)
-        plo_ref[:] = point_rank(qs + OH, False)  # side='left'
-        phi_ref[:] = point_rank(qe - OH, True)  # side='right'
+        plo = point_rank(qs + OH, False)  # side='left'
+        phi = point_rank(qe - OH, True)  # side='right'
+
+        # --- SpansPoint diff accumulated in place: +1 at plo, -1 at phi,
+        # strand-based row, misses routed to the in-section trash slot pw-1
+        # (identical to the XLA step's scatter targets) -------------------
+        qt = qt_ref[:]
+        ok = (qc >= 0) & ((qe - qs) >= 2 * OH)
+        s_lo = qt * pw + jnp.where(ok, plo, pw - 1)
+        s_hi = qt * pw + jnp.where(ok, phi, pw - 1)
+        Q = qc.shape[0]
+        col_r = jax.lax.broadcasted_iota(jnp.int32, (Q, sp_rows), 1)
+        col_l = jax.lax.broadcasted_iota(jnp.int32, (Q, 128), 1)
+
+        def onehot_acc(sidx):
+            a = (col_r == (sidx >> 7)).astype(jnp.int8)
+            b = (col_l == (sidx & 127)).astype(jnp.int8)
+            return jax.lax.dot_general(
+                a, b,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
+        sp_ref[:] += onehot_acc(s_lo) - onehot_acc(s_hi)
 
     return kernel
 
@@ -299,13 +327,19 @@ def block_ranks_pallas(
     blk_chrom,
     blk_start,
     blk_end,
+    blk_strand,
     overhang: int,
+    point_count: int,
     interpret: bool = False,
 ):
-    """All four per-block ranks in one fused kernel.
+    """MBS ranks of both block edges + the complete SpansPoint diff section,
+    in one fused kernel.
 
-    Returns (lo, hi, plo, phi) int32 (B,) — raw ranks; the caller applies
-    pad/validity masking exactly as with the XLA path.
+    Returns (lo, hi, spans) — lo/hi int32 (B,) raw MBS ranks (caller masks
+    pad lanes exactly as with the XLA path); spans int32 (2*(point_count+1),)
+    the fully-accumulated per-batch spans diff (+1 at plo, -1 at phi, strand
+    rows, trash slot point_count), ready for a dense add into the counter
+    section — spans never touch the sorted scatter path.
     """
     B = blk_chrom.shape[0]
     Bp = _round_up(B, QCHUNK)
@@ -315,24 +349,35 @@ def block_ranks_pallas(
         blk_chrom = jnp.concatenate([blk_chrom, padc])
         blk_start = jnp.concatenate([blk_start, pad0])
         blk_end = jnp.concatenate([blk_end, pad0])
+        blk_strand = jnp.concatenate([blk_strand, pad0])
     n_chunks = Bp // QCHUNK
+    pw = point_count + 1
+    sp_rows = _round_up(_round_up(2 * pw, 128) // 128, 8)
 
     qspec = pl.BlockSpec((QCHUNK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     tspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        _make_kernel(mbs_t, pt_t, overhang),
+    spspec = pl.BlockSpec((sp_rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    lo, hi, spans = pl.pallas_call(
+        _make_kernel(mbs_t, pt_t, overhang, pw, sp_rows),
         grid=(n_chunks,),
-        in_specs=[qspec] * 3 + [tspec] * 8,
-        out_specs=(qspec,) * 4,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((Bp, 1), jnp.int32) for _ in range(4)
+        in_specs=[qspec] * 4 + [tspec] * 8,
+        out_specs=(qspec, qspec, spspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((sp_rows, 128), jnp.int32),
         ),
         interpret=interpret,
     )(
         blk_chrom.reshape(Bp, 1),
         blk_start.reshape(Bp, 1),
         blk_end.reshape(Bp, 1),
+        blk_strand.reshape(Bp, 1),
         mbs_t.top_chrom, mbs_t.top_key, mbs_t.mid_cat, mbs_t.bot_cat,
         pt_t.top_chrom, pt_t.top_key, pt_t.mid_cat, pt_t.bot_cat,
     )
-    return tuple(o.reshape(Bp)[:B] for o in outs)
+    return (
+        lo.reshape(Bp)[:B],
+        hi.reshape(Bp)[:B],
+        spans.reshape(sp_rows * 128)[: 2 * pw],
+    )

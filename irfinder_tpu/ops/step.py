@@ -132,17 +132,21 @@ def count_step(dref: DeviceRef, counters: dict, batch: dict) -> dict:
 
     use_pallas = dref.rank_mbs is not None and jax.default_backend() == "tpu"
     if use_pallas:
-        # fused Pallas kernel: all four ranks in one VMEM-resident pass
-        # (ops/pallas_rank.py); identical to the XLA path below bit-for-bit
+        # fused Pallas kernel (ops/pallas_rank.py): both MBS ranks in one
+        # VMEM-resident pass AND the complete spans diff section accumulated
+        # in-kernel — spans never touch the sorted scatter path.  Identical
+        # to the XLA path below bit-for-bit.
         from .pallas_rank import block_ranks_pallas
 
-        lo_r, hi_r, plo, phi = block_ranks_pallas(
-            dref.rank_mbs, dref.rank_point, blk_c, blk_s, blk_e,
-            int(S.SPANS_OVERHANG),
+        lo_r, hi_r, spans = block_ranks_pallas(
+            dref.rank_mbs, dref.rank_point, blk_c, blk_s, blk_e, blk_st,
+            int(S.SPANS_OVERHANG), lay.P,
         )
         mbs = dref.uspan_off[-1]
         lo = jnp.where(blk_c >= 0, lo_r, mbs)
         hi = jnp.where(blk_c >= 0, hi_r, mbs)
+        idx_sp = val_sp = None
+        cnt = cnt.at[lay.off_p : lay.off_p + 2 * lay.w_p].add(spans)
     else:
         # --- CoverageBlocks: MBS rank of both edges in one bucketed pass ----
         r2 = mbs_rank(
@@ -151,22 +155,21 @@ def count_step(dref: DeviceRef, counters: dict, batch: dict) -> dict:
             jnp.concatenate([blk_s, blk_e]),
         )
         lo, hi = r2[:B], r2[B:]
+        # --- SpansPoint: rank-range diff over boundary points ---------------
         OH = jnp.int32(S.SPANS_OVERHANG)
         plo = dref.point_bt.rank((blk_c, blk_s + OH), side="left")
         phi = dref.point_bt.rank((blk_c, blk_e - OH), side="right")
+        ok = (blk_c >= 0) & (blk_e - blk_s >= 2 * OH)
+        plo = jnp.where(ok, plo, lay.P)
+        phi = jnp.where(ok, phi, lay.P)
+        p_base = lay.off_p + blk_st * lay.w_p
+        idx_sp = jnp.concatenate([p_base + plo, p_base + phi])
 
     dd_base = lay.off_dd + blk_st * lay.w_dd
     idx_cov = jnp.concatenate([dd_base + lo, dd_base + hi])
     val_cov = jnp.concatenate([jnp.ones(B, jnp.int32), jnp.full(B, -1, jnp.int32)])
-
-    # --- SpansPoint: rank-range diff over boundary points -------------------
-    OH = jnp.int32(S.SPANS_OVERHANG)
-    ok = (blk_c >= 0) & (blk_e - blk_s >= 2 * OH)
-    plo = jnp.where(ok, plo, lay.P)
-    phi = jnp.where(ok, phi, lay.P)
-    p_base = lay.off_p + blk_st * lay.w_p
-    idx_sp = jnp.concatenate([p_base + plo, p_base + phi])
-    val_sp = val_cov  # same (+1 x B, -1 x B) pattern
+    if idx_sp is not None:
+        val_sp = val_cov  # same (+1 x B, -1 x B) pattern
 
     # --- FragmentsInChr: dense per-refid count (refid count is tiny, so a
     # broadcast compare-sum beats adding F more scatter updates) -------------
@@ -181,9 +184,13 @@ def count_step(dref: DeviceRef, counters: dict, batch: dict) -> dict:
     )
 
     # --- ONE fused scatter over all processors (Pallas sort+MXU-apply on
-    # TPU, XLA scatter elsewhere — ops/scatter.py) ----------------------------
-    idx = jnp.concatenate([idx_cov, idx_sp])
-    val = jnp.concatenate([val_cov, val_sp])
+    # TPU, XLA scatter elsewhere — ops/scatter.py); on the Pallas path the
+    # spans diff was already applied densely above, halving the sort ---------
+    if idx_sp is not None:
+        idx = jnp.concatenate([idx_cov, idx_sp])
+        val = jnp.concatenate([val_cov, val_sp])
+    else:
+        idx, val = idx_cov, val_cov
     cnt = scatter_add(cnt, idx, val)
     chrn = counters["chr"] + chr_counts
 

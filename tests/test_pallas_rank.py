@@ -95,14 +95,24 @@ def test_kernel_matches_xla(seed):
 
     mbs_t = build_rank_tables(chrom, start, "mbs", len_col=ln, off_col=off)
     pt_t = build_rank_tables(pts_c, pts_v, "point")
-    got = block_ranks_pallas(
+    strand = rng.integers(0, 2, size=nq).astype(np.int32)
+    P = int(pts_c.size)
+    lo_g, hi_g, spans = block_ranks_pallas(
         mbs_t, pt_t,
-        jnp.asarray(qc), jnp.asarray(qs), jnp.asarray(qe),
-        OH, interpret=True,
+        jnp.asarray(qc), jnp.asarray(qs), jnp.asarray(qe), jnp.asarray(strand),
+        OH, P, interpret=True,
     )
     # pad lanes (qc < 0) are masked by the step wrapper on both paths
-    # (coverage -> trash rank mbs, spans -> trash slot P); compare real lanes
+    # (coverage -> trash rank mbs); compare real lanes
     m = qc >= 0
-    names = ["lo", "hi", "plo", "phi"]
-    for name, g, w in zip(names, got, want):
+    for name, g, w in zip(["lo", "hi"], (lo_g, hi_g), want[:2]):
         np.testing.assert_array_equal(np.asarray(g)[m], w[m], err_msg=name)
+
+    # spans section: the kernel accumulates the full (2, P+1) diff exactly as
+    # the XLA step scatters it (+1 at plo, -1 at phi, trash slot P on miss)
+    plo_t, phi_t = want[2], want[3]
+    ok = (qc >= 0) & (qe - qs >= 2 * OH)
+    want_sp = np.zeros(2 * (P + 1), np.int64)
+    np.add.at(want_sp, strand * (P + 1) + np.where(ok, plo_t, P), 1)
+    np.add.at(want_sp, strand * (P + 1) + np.where(ok, phi_t, P), -1)
+    np.testing.assert_array_equal(np.asarray(spans), want_sp, err_msg="spans")
