@@ -8,8 +8,9 @@ overlaps:
              (replaces BuildRefProcess; alignment-index building is external)
   BAM        count an existing aligner-ordered BAM (the graded path,
              SURVEY.md §3.3)
-  FastQ      not implemented here: alignment is external to the TPU engine
-             (BASELINE.json:7-11 grade from BAM); prints guidance
+  FastQ      full pipeline: optional native adapter trim -> external
+             aligner subprocess (user command, unsorted BAM on stdout) ->
+             counting engine off the pipe (SURVEY.md §3.2)
   Diff       pooled small-replicate differential IR between two conditions
              (SURVEY.md §2 rows 18-19)
 
@@ -158,13 +159,75 @@ def cmd_batch(args) -> int:
     return 0
 
 
-def cmd_fastq(_args) -> int:
-    sys.stderr.write(
-        "FastQ mode: alignment is external to the TPU engine. Align with "
-        "STAR (aligner output order, mates adjacent), then run:\n"
-        "  python -m irfinder_tpu.cli BAM -r <REF> -d <OUT> aligned.bam\n"
-    )
-    return 2
+def cmd_fastq(args) -> int:
+    """The reference's full FastQ pipeline (SURVEY.md §3.2): optional adapter
+    trimming -> external aligner subprocess -> counting engine, all wired by
+    pipes exactly as the bash dispatcher wired trim | STAR | irfinder.
+
+    The aligner command is user-supplied (`--aligner-cmd`, `{r1}`/`{r2}`
+    placeholders) and must write an UNSORTED BAM (aligner output order, mates
+    adjacent) to stdout — e.g. for STAR:
+
+        --aligner-cmd 'STAR --genomeDir IDX --readFilesIn {r1} {r2}
+                       --outSAMtype BAM Unsorted --outStd BAM_Unsorted
+                       --outSAMunmapped Within --runThreadN 8'
+
+    The engine counts straight off the aligner's stdout pipe — the BAM is
+    never written to disk unless --keep-bam is given.
+    """
+    import os
+    import shlex
+    import subprocess
+
+    from .engine import run_bam
+    from .refio.compile import CompiledRef
+
+    if not args.aligner_cmd:
+        sys.stderr.write(
+            "FastQ mode needs --aligner-cmd (external aligner writing an\n"
+            "unsorted BAM to stdout); alignment itself is external to the\n"
+            "TPU engine.  Alternatively align separately and use BAM mode.\n"
+        )
+        return 2
+    ref = CompiledRef.load(args.ref)
+    r1, r2 = args.r1, args.r2
+
+    if args.trim:
+        # native adapter trimmer as an in-pipe filter (SURVEY.md §2 row 17);
+        # trimmed FASTQs are written next to the outputs and fed to the
+        # aligner (simplest portable contract across aligners)
+        from .native.trim_native import trim_binary
+
+        os.makedirs(args.out, exist_ok=True)
+        t1 = os.path.join(args.out, "trimmed_1.fastq")
+        t2 = os.path.join(args.out, "trimmed_2.fastq") if r2 else os.devnull
+        rc = subprocess.call([trim_binary(), r1, r2 or os.devnull, t1, t2])
+        if rc != 0:
+            sys.stderr.write(f"trim failed with exit code {rc}\n")
+            return rc
+        r1, r2 = t1, (t2 if r2 else None)
+
+    cmd = args.aligner_cmd.format(r1=r1, r2=r2 or "")
+    aligner = subprocess.Popen(shlex.split(cmd), stdout=subprocess.PIPE)
+    try:
+        if args.keep_bam:
+            os.makedirs(args.out, exist_ok=True)
+            import shutil
+
+            bam_path = os.path.join(args.out, "Unsorted.bam")
+            with open(bam_path, "wb") as fh:
+                shutil.copyfileobj(aligner.stdout, fh)
+            metrics = run_bam(ref, bam_path, args.out)
+        else:
+            metrics = run_bam(ref, aligner.stdout, args.out)
+    finally:
+        aligner.stdout.close()
+        rc = aligner.wait()
+    if rc != 0:
+        sys.stderr.write(f"aligner exited with code {rc}\n")
+        return rc
+    print(json.dumps(metrics.as_dict(), indent=1))
+    return 0
 
 
 def cmd_diff(args) -> int:
@@ -243,7 +306,24 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--no-native", action="store_true", help="force the Python decoder")
     g.set_defaults(fn=cmd_batch)
 
-    f = sub.add_parser("FastQ", help="(external alignment) guidance only")
+    f = sub.add_parser(
+        "FastQ", help="trim -> external aligner pipe -> count (full pipeline)"
+    )
+    f.add_argument("-r", "--ref", required=True, help="reference directory from BuildRef")
+    f.add_argument("-d", "--out", required=True, help="output directory")
+    f.add_argument("r1", help="FASTQ mate 1")
+    f.add_argument("r2", nargs="?", default=None, help="FASTQ mate 2 (paired-end)")
+    f.add_argument(
+        "--aligner-cmd",
+        dest="aligner_cmd",
+        help="aligner command template writing unsorted BAM to stdout; "
+        "{r1}/{r2} expand to the (possibly trimmed) FASTQ paths",
+    )
+    f.add_argument("--trim", action="store_true", help="adapter-trim before aligning")
+    f.add_argument(
+        "--keep-bam", dest="keep_bam", action="store_true",
+        help="also save the aligner BAM as <out>/Unsorted.bam",
+    )
     f.set_defaults(fn=cmd_fastq)
 
     d = sub.add_parser("Diff", help="pooled small-replicate differential IR")

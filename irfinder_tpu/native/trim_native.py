@@ -41,6 +41,20 @@ def trim1(read: bytes, adapter: bytes = ADAPTER_R1) -> int:
     return lib.tr_trim1(read, len(read), adapter, len(adapter))
 
 
+def trim_binary() -> str:
+    """Path to the standalone trim filter binary (4-file / interleaved-pipe
+    CLI), building it if stale — the FastQ-mode pre-alignment filter."""
+    ensure_built("trim", "libtrim.so")
+    import os
+
+    from . import _NATIVE_ROOT
+
+    path = os.path.join(_NATIVE_ROOT, "trim", "trim")
+    if not os.path.exists(path):
+        raise RuntimeError("trim binary missing after build")
+    return path
+
+
 def trim_pair(
     r1: bytes,
     r2: bytes,
