@@ -46,8 +46,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .bucket import PAD_KEY
 
-#: queries per grid step (the (QCHUNK, groups*128) int32 gather output is the
-#: dominant VMEM tenant; 1024 keeps the kernel under the 16MB scoped limit)
+#: queries per grid step.  Per-query scalars are (QCHUNK, 1) in VMEM and get
+#: lane-padded 128x by the (8,128) tiling, so QCHUNK is bounded by the 16MB
+#: scoped-vmem limit (1024 fits with ~40% headroom; 2048 does not)
 QCHUNK = 1024
 #: bottom buckets above which the packed tables / one-hot matrices outgrow
 #: VMEM and the step keeps the XLA bucket path (per-shard maps stay far
@@ -207,6 +208,22 @@ def _recombine(g, base, n):
     return out
 
 
+def _gather_cols(cat_ref, oh, base, n):
+    """One-hot gather + plane recombination, one 128-lane group at a time —
+    the (Q, width) int32 gather output never materializes, capping live VMEM
+    at (Q, 128) per plane regardless of table width."""
+    out = None
+    for s in range(n):
+        g = jax.lax.dot_general(
+            oh,
+            cat_ref[:, (base + s) * 128 : (base + s + 1) * 128],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ) + 128
+        out = g if s == 0 else out + (g << (8 * s))
+    return out
+
+
 def _lex_le(c, k, qc, qk, or_equal):
     lt = (c < qc) | ((c == qc) & (k < qk))
     if or_equal:
@@ -214,17 +231,10 @@ def _lex_le(c, k, qc, qk, or_equal):
     return lt
 
 
-def _gather(cat_ref, b, nbp):
-    """rows = onehot(b) @ cat, exact int32 plane sums.  b: (Q,1) int32."""
-    oh = (
+def _onehot(b, nbp):
+    return (
         jax.lax.broadcasted_iota(jnp.int32, (b.shape[0], nbp), 1) == b
     ).astype(jnp.int8)
-    return jax.lax.dot_general(
-        oh,
-        cat_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
 
 
 def _descend(tt_c, tt_k, mid_ref, t: RankTables, qc, qk, or_equal):
@@ -232,9 +242,9 @@ def _descend(tt_c, tt_k, mid_ref, t: RankTables, qc, qk, or_equal):
     b2 = jnp.sum(
         _lex_le(tt_c, tt_k, qc, qk, or_equal), axis=1, keepdims=True
     ).astype(jnp.int32)
-    gm = _gather(mid_ref, b2, mid_ref.shape[0])
-    mc = _recombine(gm, 0, 2)
-    mk = _recombine(gm, 2, 4)
+    oh = _onehot(b2, mid_ref.shape[0])
+    mc = _gather_cols(mid_ref, oh, 0, 2)
+    mk = _gather_cols(mid_ref, oh, 2, 4)
     c2 = jnp.sum(
         _lex_le(mc, mk, qc, qk, or_equal), axis=1, keepdims=True
     ).astype(jnp.int32)
@@ -256,20 +266,32 @@ def _make_kernel(mbs_t: RankTables, pt_t: RankTables, overhang: int, pw: int, sp
         def _():
             sp_ref[:] = jnp.zeros_like(sp_ref)
 
-        qc = qc_ref[:]  # (Q,1)
+        # query blocks arrive dense (Q/128, 128) — a (Q, 1) block layout
+        # would be lane-padded 128x in VMEM — and are transposed to the
+        # sublane-per-query shape all kernel math uses
+        Qn = qc_ref.shape[0] * 128
+
+        def col(ref):
+            return jnp.transpose(ref[:].reshape(1, Qn), (1, 0))
+
+        qc = col(qc_ref)  # (Q,1)
 
         def mbs_rank(qk):
             # first-key prefix count - 1 = bucket of the last key <= q
             cnt = _descend(m_top_c[:], m_top_k[:], m_mid, mbs_t, qc, qk, True)
             b = jnp.maximum(cnt - 1, 0)
-            g = _gather(m_bot, b, mbs_t.nbp)
-            bc = _recombine(g, 0, 2)
-            bs = _recombine(g, 2, 4)
-            bl = _recombine(g, 6, 3)
+            oh = _onehot(b, mbs_t.nbp)
+            bc = _gather_cols(m_bot, oh, 0, 2)
+            bs = _gather_cols(m_bot, oh, 2, 4)
+            bl = _gather_cols(m_bot, oh, 6, 3)
             # cumlen planes sit in lanes 0..3 of group 9 (other lanes are
             # biased zeros); extract by masked row-sum — single-lane slices
             # at unaligned offsets miscompile on real hardware
-            cg = g[:, 9 * 128 : 10 * 128] + 128
+            cg = jax.lax.dot_general(
+                oh, m_bot[:, 9 * 128 : 10 * 128],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ) + 128
             lane = jax.lax.broadcasted_iota(jnp.int32, cg.shape, 1)
             cuml = jnp.zeros((cg.shape[0], 1), jnp.int32)
             for s in range(4):
@@ -281,42 +303,52 @@ def _make_kernel(mbs_t: RankTables, pt_t: RankTables, overhang: int, pw: int, sp
 
         def point_rank(qk, or_equal):
             b = _descend(p_top_c[:], p_top_k[:], p_mid, pt_t, qc, qk, or_equal)
-            g = _gather(p_bot, b, pt_t.nbp)
-            bc = _recombine(g, 0, 2)
-            bk = _recombine(g, 2, 4)
+            oh = _onehot(b, pt_t.nbp)
+            bc = _gather_cols(p_bot, oh, 0, 2)
+            bk = _gather_cols(p_bot, oh, 2, 4)
             cnt = jnp.sum(
                 _lex_le(bc, bk, qc, qk, or_equal), axis=1, keepdims=True
             ).astype(jnp.int32)
             return b * 128 + cnt
 
-        qs = qs_ref[:]
-        qe = qe_ref[:]
-        lo_ref[:] = mbs_rank(qs)
-        hi_ref[:] = mbs_rank(qe)
+        def row(v):  # (Q,1) -> dense (Q/128, 128) output block
+            return jnp.transpose(v, (1, 0)).reshape(Qn // 128, 128)
+
+        qs = col(qs_ref)
+        qe = col(qe_ref)
+        lo_ref[:] = row(mbs_rank(qs))
+        hi_ref[:] = row(mbs_rank(qe))
         plo = point_rank(qs + OH, False)  # side='left'
         phi = point_rank(qe - OH, True)  # side='right'
 
         # --- SpansPoint diff accumulated in place: +1 at plo, -1 at phi,
         # strand-based row, misses routed to the in-section trash slot pw-1
         # (identical to the XLA step's scatter targets) -------------------
-        qt = qt_ref[:]
+        qt = col(qt_ref)
         ok = (qc >= 0) & ((qe - qs) >= 2 * OH)
         s_lo = qt * pw + jnp.where(ok, plo, pw - 1)
         s_hi = qt * pw + jnp.where(ok, phi, pw - 1)
         Q = qc.shape[0]
-        col_r = jax.lax.broadcasted_iota(jnp.int32, (Q, sp_rows), 1)
         col_l = jax.lax.broadcasted_iota(jnp.int32, (Q, 128), 1)
+        b_lo = (col_l == (s_lo & 127)).astype(jnp.int8)
+        b_hi = (col_l == (s_hi & 127)).astype(jnp.int8)
+        r_lo = s_lo >> 7
+        r_hi = s_hi >> 7
+        # accumulate in row blocks: a full (Q, sp_rows) int32 iota would be
+        # the kernel's largest VMEM tenant by far
+        RB = 512
+        for r0 in range(0, sp_rows, RB):
+            rc = min(RB, sp_rows - r0)
+            col_r = r0 + jax.lax.broadcasted_iota(jnp.int32, (Q, rc), 1)
 
-        def onehot_acc(sidx):
-            a = (col_r == (sidx >> 7)).astype(jnp.int8)
-            b = (col_l == (sidx & 127)).astype(jnp.int8)
-            return jax.lax.dot_general(
-                a, b,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
+            def part(rq, b):
+                return jax.lax.dot_general(
+                    (col_r == rq).astype(jnp.int8), b,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
 
-        sp_ref[:] += onehot_acc(s_lo) - onehot_acc(s_hi)
+            sp_ref[r0 : r0 + rc, :] += part(r_lo, b_lo) - part(r_hi, b_hi)
 
     return kernel
 
@@ -353,8 +385,9 @@ def block_ranks_pallas(
     n_chunks = Bp // QCHUNK
     pw = point_count + 1
     sp_rows = _round_up(_round_up(2 * pw, 128) // 128, 8)
+    QR = QCHUNK // 128  # dense query block rows
 
-    qspec = pl.BlockSpec((QCHUNK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((QR, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     tspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     spspec = pl.BlockSpec((sp_rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
     lo, hi, spans = pl.pallas_call(
@@ -363,16 +396,16 @@ def block_ranks_pallas(
         in_specs=[qspec] * 4 + [tspec] * 8,
         out_specs=(qspec, qspec, spspec),
         out_shape=(
-            jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Bp // 128, 128), jnp.int32),
             jax.ShapeDtypeStruct((sp_rows, 128), jnp.int32),
         ),
         interpret=interpret,
     )(
-        blk_chrom.reshape(Bp, 1),
-        blk_start.reshape(Bp, 1),
-        blk_end.reshape(Bp, 1),
-        blk_strand.reshape(Bp, 1),
+        blk_chrom.reshape(Bp // 128, 128),
+        blk_start.reshape(Bp // 128, 128),
+        blk_end.reshape(Bp // 128, 128),
+        blk_strand.reshape(Bp // 128, 128),
         mbs_t.top_chrom, mbs_t.top_key, mbs_t.mid_cat, mbs_t.bot_cat,
         pt_t.top_chrom, pt_t.top_key, pt_t.mid_cat, pt_t.bot_cat,
     )
