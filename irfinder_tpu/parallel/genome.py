@@ -180,7 +180,10 @@ def make_genome_sharded_step(mesh: Mesh, axis: str = "genome"):
         cspec = {k: P(axis) for k in counters}
         bspec = {k: P() for k in batch}
         fn = jax.shard_map(
-            local, mesh=mesh, in_specs=(drspec, cspec, bspec), out_specs=cspec
+            local, mesh=mesh, in_specs=(drspec, cspec, bspec), out_specs=cspec,
+            # Pallas kernels in the body carry no vma annotations; the body
+            # is purely per-shard so the varying-axes check is unnecessary
+            check_vma=False,
         )
         return fn(dref, counters, batch)
 
@@ -213,7 +216,10 @@ def make_dp_genome_step(mesh: Mesh, dp_axis: str = "dp", g_axis: str = "genome")
         cspec = {k: P(dp_axis, g_axis) for k in counters}
         bspec = {k: P(dp_axis) for k in batch}
         fn = jax.shard_map(
-            local, mesh=mesh, in_specs=(drspec, cspec, bspec), out_specs=cspec
+            local, mesh=mesh, in_specs=(drspec, cspec, bspec), out_specs=cspec,
+            # Pallas kernels in the body carry no vma annotations; the body
+            # is purely per-shard so the varying-axes check is unnecessary
+            check_vma=False,
         )
         return fn(dref, counters, batch)
 

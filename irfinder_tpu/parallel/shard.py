@@ -60,6 +60,10 @@ def make_sharded_step(mesh: Mesh, axis: str = "dp"):
         fn = jax.shard_map(
             local,
             mesh=mesh,
+            # Pallas kernels inside the body have no vma annotations on their
+            # out_shapes; disable the varying-mesh-axes check (the body is
+            # purely per-shard, no cross-shard collectives)
+            check_vma=False,
             in_specs=(drspec, cspec, bspec),
             out_specs=cspec,
         )

@@ -69,7 +69,7 @@ def step(dref, c, batch):
     drspec = jax.tree_util.tree_map(lambda _: P("genome"), dref)
     cspec = {k: P("dp", "genome") for k in c}
     bspec = {k: P("dp") for k in batch}
-    return jax.shard_map(local, mesh=mesh, in_specs=(drspec, cspec, bspec), out_specs=cspec)(dref, c, batch)
+    return jax.shard_map(local, mesh=mesh, in_specs=(drspec, cspec, bspec), out_specs=cspec, check_vma=False)(dref, c, batch)
 
 jstep = jax.jit(step, donate_argnums=(1,))
 

@@ -14,6 +14,7 @@ import pytest
 import jax.numpy as jnp
 
 from irfinder_tpu.ops.bucket import BucketTable
+from irfinder_tpu.ops.device_ref import PAD_CHROM
 from irfinder_tpu.ops.pallas_rank import block_ranks_pallas, build_rank_tables
 
 OH = 5
@@ -115,4 +116,53 @@ def test_kernel_matches_xla(seed):
     want_sp = np.zeros(2 * (P + 1), np.int64)
     np.add.at(want_sp, strand * (P + 1) + np.where(ok, plo_t, P), 1)
     np.add.at(want_sp, strand * (P + 1) + np.where(ok, phi_t, P), -1)
+    np.testing.assert_array_equal(np.asarray(spans), want_sp, err_msg="spans")
+
+
+def test_shard_padded_tables(seed=7):
+    """Genome-sharded refs pad tables with lex-+inf (PAD_CHROM, 0) rows to a
+    uniform size before the kernel tables are built (device_ref.build with
+    pads); padded rows must act as +inf sentinels for every rank kind."""
+    rng = np.random.default_rng(seed)
+    chrom, start, ln, off = _make_spans(rng)
+    pts_c = np.repeat(np.arange(3, dtype=np.int32), 50)
+    pts_v = np.concatenate(
+        [np.sort(rng.integers(0, 4000, 50)).astype(np.int32) for _ in range(3)]
+    )
+
+    def padded(cols, extra):
+        out = [np.concatenate([cols[0], np.full(extra, PAD_CHROM, np.int32)])]
+        for c in cols[1:]:
+            out.append(np.concatenate([c, np.zeros(extra, np.int32)]))
+        return out
+
+    nq = 300
+    qc = rng.integers(-1, 4, size=nq).astype(np.int32)
+    qs = rng.integers(0, 4200, size=nq).astype(np.int32)
+    qe = qs + rng.integers(2 * OH, 150, size=nq).astype(np.int32)
+    strand = rng.integers(0, 2, size=nq).astype(np.int32)
+
+    want = _xla_truth(chrom, start, ln, off, pts_c, pts_v, qc, qs, qe)
+
+    pc, ps, pl_, po = padded((chrom, start, ln, off), 77)
+    # padded off rows are zeros — never selected (descent stops at the last
+    # real bucket), mirroring device_ref._pad_rows
+    xc, xv = padded((pts_c, pts_v), 33)
+    mbs_t = build_rank_tables(pc, ps, "mbs", len_col=pl_, off_col=po)
+    pt_t = build_rank_tables(xc, xv, "point")
+    P = int(xc.shape[0])
+    lo_g, hi_g, spans = block_ranks_pallas(
+        mbs_t, pt_t,
+        jnp.asarray(qc), jnp.asarray(qs), jnp.asarray(qe), jnp.asarray(strand),
+        OH, P, interpret=True,
+    )
+    m = qc >= 0
+    np.testing.assert_array_equal(np.asarray(lo_g)[m], want[0][m], err_msg="lo")
+    np.testing.assert_array_equal(np.asarray(hi_g)[m], want[1][m], err_msg="hi")
+    # point ranks over the padded table equal the unpadded ones (sentinels
+    # sort last and never compare below any real query)
+    ok = (qc >= 0) & (qe - qs >= 2 * OH)
+    want_sp = np.zeros(2 * (P + 1), np.int64)
+    np.add.at(want_sp, strand * (P + 1) + np.where(ok, want[2], P), 1)
+    np.add.at(want_sp, strand * (P + 1) + np.where(ok, want[3], P), -1)
     np.testing.assert_array_equal(np.asarray(spans), want_sp, err_msg="spans")
