@@ -172,8 +172,10 @@ def cmd_fastq(args) -> int:
                        --outSAMtype BAM Unsorted --outStd BAM_Unsorted
                        --outSAMunmapped Within --runThreadN 8'
 
-    The engine counts straight off the aligner's stdout pipe — the BAM is
-    never written to disk unless --keep-bam is given.
+    By default the aligner BAM is spooled next to the outputs and counted
+    with the multithreaded native decoder (removed afterwards unless
+    --keep-bam); --stream counts straight off the pipe instead, overlapping
+    counting with alignment via the pure-Python decoder.
     """
     import os
     import shlex
@@ -210,16 +212,24 @@ def cmd_fastq(args) -> int:
     cmd = args.aligner_cmd.format(r1=r1, r2=r2 or "")
     aligner = subprocess.Popen(shlex.split(cmd), stdout=subprocess.PIPE)
     try:
-        if args.keep_bam:
-            os.makedirs(args.out, exist_ok=True)
+        if args.stream:
+            # count straight off the pipe (pure-Python decoder: the native
+            # decoder mmaps and cannot read a FIFO) — overlaps counting with
+            # alignment at the cost of decode speed
+            metrics = run_bam(ref, aligner.stdout, args.out)
+        else:
+            # spool the aligner BAM, then count it with the multithreaded
+            # native decoder (9.4M reads/s single-thread; the aligner is the
+            # pipeline bottleneck either way)
             import shutil
 
+            os.makedirs(args.out, exist_ok=True)
             bam_path = os.path.join(args.out, "Unsorted.bam")
             with open(bam_path, "wb") as fh:
                 shutil.copyfileobj(aligner.stdout, fh)
             metrics = run_bam(ref, bam_path, args.out)
-        else:
-            metrics = run_bam(ref, aligner.stdout, args.out)
+            if not args.keep_bam:
+                os.remove(bam_path)
     finally:
         aligner.stdout.close()
         rc = aligner.wait()
@@ -322,7 +332,11 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--trim", action="store_true", help="adapter-trim before aligning")
     f.add_argument(
         "--keep-bam", dest="keep_bam", action="store_true",
-        help="also save the aligner BAM as <out>/Unsorted.bam",
+        help="keep the aligner BAM as <out>/Unsorted.bam",
+    )
+    f.add_argument(
+        "--stream", action="store_true",
+        help="count straight off the aligner pipe (no BAM on disk; Python decoder)",
     )
     f.set_defaults(fn=cmd_fastq)
 
