@@ -151,8 +151,17 @@ def scatter_add_pallas(cnt, idx, val, interpret: bool = False):
 
 def scatter_add(cnt, idx, val):
     """Backend dispatch: the Pallas kernel on TPU, XLA scatter elsewhere
-    (CPU tests, interpret-free debugging).  Semantics identical."""
-    if cnt.shape[0] % TILE == 0 and jax.default_backend() == "tpu":
+    (CPU tests, interpret-free debugging).  Semantics identical.
+
+    The kernel sweeps the WHOLE cnt array through VMEM tile by tile, so its
+    cost scales with cnt size, not update count.  That is a large win at
+    per-chromosome scale (cnt ~100 MB, 0.3 ms sweep vs ~14 ns/update XLA
+    scatter), but would lose on a huge unsharded whole-genome counter
+    (cnt ~10 GB -> ~25 ms sweep/batch); when updates are that sparse
+    relative to cnt rows the XLA scatter wins, so fall back.  Genome-sharded runs keep
+    per-shard counters small and stay on the kernel."""
+    sparse = cnt.shape[0] > 64 * TILE and idx.shape[0] * 16 < cnt.shape[0] // 128
+    if cnt.shape[0] % TILE == 0 and not sparse and jax.default_backend() == "tpu":
         return scatter_add_pallas(cnt, idx, val)
     return cnt.at[idx].add(val)
 
