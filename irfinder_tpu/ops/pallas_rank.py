@@ -50,10 +50,14 @@ from .bucket import PAD_KEY
 #: lane-padded 128x by the (8,128) tiling, so QCHUNK is bounded by the 16MB
 #: scoped-vmem limit (1024 fits with ~40% headroom; 2048 does not)
 QCHUNK = 1024
-#: bottom buckets above which the packed tables / one-hot matrices outgrow
-#: VMEM and the step keeps the XLA bucket path (per-shard maps stay far
-#: below this)
-MAX_NB = 1024
+#: bottom buckets above which the step keeps the XLA bucket path.  The
+#: one-hot matmul-gather scans the whole bottom table per query chunk, so its
+#: cost grows linearly with table size: measured on v5e it beats XLA up to
+#: ~1-1.5k buckets (every per-chromosome/genome-sharded map) and loses at
+#: whole-genome-unsharded scale (~3.4k buckets, 27 vs 19 ms/batch) — the
+#: block-split gathers (NBB) keep VMEM bounded either way, the crossover is
+#: pure compute
+MAX_NB = 1536
 
 
 def _planes(col: np.ndarray, n: int) -> list:
@@ -200,28 +204,43 @@ def build_rank_tables(chrom, key, kind: str, len_col=None, off_col=None):
 # ---------------------------------------------------------------------------
 
 
-def _recombine(g, base, n):
-    """Gathered biased planes (Q,128) x n starting at group `base` -> int32."""
-    out = g[:, base * 128 : (base + 1) * 128] + 128
-    for s in range(1, n):
-        out = out + ((g[:, (base + s) * 128 : (base + s + 1) * 128] + 128) << (8 * s))
-    return out
+#: bucket-block width for the one-hot gather (caps the one-hot matrix at
+#: (QCHUNK, NBB) int8 regardless of table size)
+NBB = 1024
 
 
-def _gather_cols(cat_ref, oh, base, n):
-    """One-hot gather + plane recombination, one 128-lane group at a time —
-    the (Q, width) int32 gather output never materializes, capping live VMEM
-    at (Q, 128) per plane regardless of table width."""
+def _gather_cols(cat_ref, b, base, n):
+    """One-hot gather + plane recombination, processed one 128-lane group and
+    one NBB-bucket block at a time — neither the (Q, width) gather output nor
+    a (Q, nbp) one-hot ever materializes, so VMEM stays capped for tables of
+    any size.  Exactly one block contributes (the one holding bucket b); the
+    others one-hot to all-zero rows."""
+    nbp = cat_ref.shape[0]
+    Q = b.shape[0]
     out = None
-    for s in range(n):
-        g = jax.lax.dot_general(
-            oh,
-            cat_ref[:, (base + s) * 128 : (base + s + 1) * 128],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ) + 128
-        out = g if s == 0 else out + (g << (8 * s))
-    return out
+    for b0 in range(0, nbp, NBB):
+        bc = min(NBB, nbp - b0)
+        oh = (
+            b0 + jax.lax.broadcasted_iota(jnp.int32, (Q, bc), 1) == b
+        ).astype(jnp.int8)
+        blk = None
+        for s in range(n):
+            g = jax.lax.dot_general(
+                oh,
+                cat_ref[b0 : b0 + bc, (base + s) * 128 : (base + s + 1) * 128],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            blk = g if s == 0 else blk + (g << (8 * s))
+        out = blk if out is None else out + blk
+    # bias correction: each of the n planes carried -128; only the selected
+    # block's one-hot row sums to 1, so add the bias back once per plane.
+    # The 4-plane bias exceeds int32 as a Python int; int32 wraparound
+    # addition is exact because the true value fits int32.
+    bias = sum(128 << (8 * s) for s in range(n)) & 0xFFFFFFFF
+    if bias >= 1 << 31:
+        bias -= 1 << 32
+    return out + jnp.int32(bias)
 
 
 def _lex_le(c, k, qc, qk, or_equal):
@@ -231,10 +250,24 @@ def _lex_le(c, k, qc, qk, or_equal):
     return lt
 
 
-def _onehot(b, nbp):
-    return (
-        jax.lax.broadcasted_iota(jnp.int32, (b.shape[0], nbp), 1) == b
-    ).astype(jnp.int8)
+def _gather_group_raw(cat_ref, b, g_idx):
+    """Block-split one-hot gather of ONE raw (still biased) plane group."""
+    nbp = cat_ref.shape[0]
+    Q = b.shape[0]
+    out = None
+    for b0 in range(0, nbp, NBB):
+        bc = min(NBB, nbp - b0)
+        oh = (
+            b0 + jax.lax.broadcasted_iota(jnp.int32, (Q, bc), 1) == b
+        ).astype(jnp.int8)
+        g = jax.lax.dot_general(
+            oh,
+            cat_ref[b0 : b0 + bc, g_idx * 128 : (g_idx + 1) * 128],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = g if out is None else out + g
+    return out
 
 
 def _descend(tt_c, tt_k, mid_ref, t: RankTables, qc, qk, or_equal):
@@ -242,9 +275,8 @@ def _descend(tt_c, tt_k, mid_ref, t: RankTables, qc, qk, or_equal):
     b2 = jnp.sum(
         _lex_le(tt_c, tt_k, qc, qk, or_equal), axis=1, keepdims=True
     ).astype(jnp.int32)
-    oh = _onehot(b2, mid_ref.shape[0])
-    mc = _gather_cols(mid_ref, oh, 0, 2)
-    mk = _gather_cols(mid_ref, oh, 2, 4)
+    mc = _gather_cols(mid_ref, b2, 0, 2)
+    mk = _gather_cols(mid_ref, b2, 2, 4)
     c2 = jnp.sum(
         _lex_le(mc, mk, qc, qk, or_equal), axis=1, keepdims=True
     ).astype(jnp.int32)
@@ -280,18 +312,13 @@ def _make_kernel(mbs_t: RankTables, pt_t: RankTables, overhang: int, pw: int, sp
             # first-key prefix count - 1 = bucket of the last key <= q
             cnt = _descend(m_top_c[:], m_top_k[:], m_mid, mbs_t, qc, qk, True)
             b = jnp.maximum(cnt - 1, 0)
-            oh = _onehot(b, mbs_t.nbp)
-            bc = _gather_cols(m_bot, oh, 0, 2)
-            bs = _gather_cols(m_bot, oh, 2, 4)
-            bl = _gather_cols(m_bot, oh, 6, 3)
+            bc = _gather_cols(m_bot, b, 0, 2)
+            bs = _gather_cols(m_bot, b, 2, 4)
+            bl = _gather_cols(m_bot, b, 6, 3)
             # cumlen planes sit in lanes 0..3 of group 9 (other lanes are
             # biased zeros); extract by masked row-sum — single-lane slices
             # at unaligned offsets miscompile on real hardware
-            cg = jax.lax.dot_general(
-                oh, m_bot[:, 9 * 128 : 10 * 128],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ) + 128
+            cg = _gather_group_raw(m_bot, b, 9) + 128
             lane = jax.lax.broadcasted_iota(jnp.int32, cg.shape, 1)
             cuml = jnp.zeros((cg.shape[0], 1), jnp.int32)
             for s in range(4):
@@ -303,9 +330,8 @@ def _make_kernel(mbs_t: RankTables, pt_t: RankTables, overhang: int, pw: int, sp
 
         def point_rank(qk, or_equal):
             b = _descend(p_top_c[:], p_top_k[:], p_mid, pt_t, qc, qk, or_equal)
-            oh = _onehot(b, pt_t.nbp)
-            bc = _gather_cols(p_bot, oh, 0, 2)
-            bk = _gather_cols(p_bot, oh, 2, 4)
+            bc = _gather_cols(p_bot, b, 0, 2)
+            bk = _gather_cols(p_bot, b, 2, 4)
             cnt = jnp.sum(
                 _lex_le(bc, bk, qc, qk, or_equal), axis=1, keepdims=True
             ).astype(jnp.int32)
@@ -373,8 +399,21 @@ def block_ranks_pallas(
     rows, trash slot point_count), ready for a dense add into the counter
     section — spans never touch the sorted scatter path.
     """
+    pw = point_count + 1
+    sp_rows = _round_up(_round_up(2 * pw, 128) // 128, 8)
+    # whole-genome-scale tables + the resident spans block overflow the
+    # default 16MB scoped-VMEM budget by a couple of MB; raise the cap for
+    # this kernel only (blocks can't shrink below QR=8 rows)
+    resident = mbs_t.bot_cat.size + pt_t.bot_cat.size + sp_rows * 128 * 4
+    params = (
+        pltpu.CompilerParams(vmem_limit_bytes=24 << 20)
+        if resident > 3 << 20
+        else None
+    )
+    qchunk = QCHUNK
+
     B = blk_chrom.shape[0]
-    Bp = _round_up(B, QCHUNK)
+    Bp = _round_up(B, qchunk)
     if Bp != B:
         padc = jnp.full(Bp - B, -1, jnp.int32)
         pad0 = jnp.zeros(Bp - B, jnp.int32)
@@ -382,10 +421,8 @@ def block_ranks_pallas(
         blk_start = jnp.concatenate([blk_start, pad0])
         blk_end = jnp.concatenate([blk_end, pad0])
         blk_strand = jnp.concatenate([blk_strand, pad0])
-    n_chunks = Bp // QCHUNK
-    pw = point_count + 1
-    sp_rows = _round_up(_round_up(2 * pw, 128) // 128, 8)
-    QR = QCHUNK // 128  # dense query block rows
+    n_chunks = Bp // qchunk
+    QR = qchunk // 128  # dense query block rows
 
     qspec = pl.BlockSpec((QR, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     tspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -400,6 +437,7 @@ def block_ranks_pallas(
             jax.ShapeDtypeStruct((Bp // 128, 128), jnp.int32),
             jax.ShapeDtypeStruct((sp_rows, 128), jnp.int32),
         ),
+        compiler_params=params,
         interpret=interpret,
     )(
         blk_chrom.reshape(Bp // 128, 128),
