@@ -99,8 +99,14 @@ class Engine:
         self._st: SampleState | None = None
         # device-side finalize statistics (ops/finalize_stats.py): skip the
         # O(mbs) depth pull + host flatten on real TPUs; the CPU test backend
-        # keeps the host path so oracle comparisons see the full depth array
-        self._device_stats = jax.default_backend() == "tpu"
+        # keeps the host path so oracle comparisons see the full depth array.
+        # IRTPU_DEVICE_STATS=1 forces the device path anywhere (CPU uses the
+        # Pallas interpreter) — the end-to-end parity test relies on this.
+        self._device_stats = (
+            jax.default_backend() == "tpu"
+            or os.environ.get("IRTPU_DEVICE_STATS") == "1"
+        )
+        self._stats_interpret = jax.default_backend() != "tpu"
         self._finref = None
 
     # -- lifecycle -----------------------------------------------------------
@@ -202,15 +208,18 @@ class Engine:
 
             if self._finref is None:
                 self._finref = build_finalize_ref(self.ref)
-            depth_dev = fc["depth"]
+            depth_dev = jax.numpy.asarray(fc["depth"])
             dsum_both = jax.jit(lambda d: (d[0] + d[1]))(depth_dev)
-            cache[2] = device_depth_stats(self.ref, self._finref, dsum_both, "both")
+            interp = self._stats_interpret
+            cache[2] = device_depth_stats(
+                self.ref, self._finref, dsum_both, "both", interpret=interp
+            )
             plane_a = 1 if flip else 0
             cache[plane_a] = device_depth_stats(
-                self.ref, self._finref, depth_dev[plane_a], "A"
+                self.ref, self._finref, depth_dev[plane_a], "A", interpret=interp
             )
             cache[1 - plane_a] = device_depth_stats(
-                self.ref, self._finref, depth_dev[1 - plane_a], "B"
+                self.ref, self._finref, depth_dev[1 - plane_a], "B", interpret=interp
             )
             fc = dict(fc)
             fc["depth"] = None  # never pulled; all variants precomputed

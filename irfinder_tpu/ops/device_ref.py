@@ -57,24 +57,17 @@ class DeviceRef:
     uspan_len: jnp.ndarray
     uspan_off: jnp.ndarray  # int32 MBS offsets
     chrom_base: jnp.ndarray  # (n_chroms,) MBS offset of each chrom's first span
-    # boundary / pair / point tables (sentinel-padded)
-    bstart_chrom: jnp.ndarray
-    bstart_coord: jnp.ndarray
-    bend_chrom: jnp.ndarray
-    bend_coord: jnp.ndarray
-    pair_chrom: jnp.ndarray
-    pair_start: jnp.ndarray
-    pair_end: jnp.ndarray
+    # boundary point table (sentinel-padded).  Junction (start/end/pair)
+    # tables have no device columns at all: junction counting is host-side
+    # (ops/step.py docstring) and the finalize join reads CompiledRef.
     point_chrom: jnp.ndarray
     point_coord: jnp.ndarray
     # ROI intervals (sentinel-padded)
     roi_chrom: jnp.ndarray
     roi_start: jnp.ndarray
     roi_end: jnp.ndarray
-    # bucketed rank tables (ops/bucket.py) — the XLA search structures;
-    # the flat sentinel-padded columns above are kept for finalize/tests.
-    # (Junction tables have no device structures at all: junction counting is
-    # host-side — ops/step.py docstring.)
+    # bucketed rank tables (ops/bucket.py) — the XLA fallback search
+    # structures (used when the Pallas tables below are disabled)
     uspan_bt: BucketTable  # keys (chrom,start); payload (chrom,start,len,off)
     point_bt: BucketTable  # keys (chrom,coord); rank-only
     # packed VMEM tables for the fused Pallas rank kernel
@@ -92,9 +85,6 @@ class DeviceRef:
     def sizes(self) -> dict:
         """Real (unpadded) table sizes; counter arrays add 1 trash slot."""
         return {
-            "S": int(self.bstart_coord.shape[0]) - 1,
-            "E": int(self.bend_coord.shape[0]) - 1,
-            "X": int(self.pair_start.shape[0]) - 1,
             "P": int(self.point_coord.shape[0]) - 1,
             "R": int(self.roi_start.shape[0]) - 1,
         }
@@ -137,7 +127,7 @@ def _pad_rows(cols, target):
 def build_device_ref(ref: CompiledRef, pads: dict | None = None, bucket: int = 128) -> DeviceRef:
     """Host CompiledRef -> device tensors (one H2D put per table).
 
-    pads: optional uniform table sizes {uspan,bstart,bend,pair,point,roi,mbs}
+    pads: optional uniform table sizes {uspan,point,roi,mbs}
     so refs of different real sizes share one static shape — required for
     stacking genome shards under one shard_map program (parallel/genome.py).
     Extra rows are lex-+inf sentinels; ranks/matches over real keys are
@@ -151,9 +141,6 @@ def build_device_ref(ref: CompiledRef, pads: dict | None = None, bucket: int = 1
     chrom_base = ref.uspan_mbs_off[ref.uspan_seg[:-1]].astype(np.int32)
 
     u_start = ref.uspan_start
-    bs_c, bs_v = _chrom_col(ref.bstart_seg), ref.bstart_coord
-    be_c, be_v = _chrom_col(ref.bend_seg), ref.bend_coord
-    pr_c, pr_s, pr_e = _chrom_col(ref.upair_seg), ref.upair_start, ref.upair_end
     pt_c, pt_v = _chrom_col(ref.point_seg), ref.point_coord
     ro_c, ro_s, ro_e = _chrom_col(ref.roi_seg), ref.roi_start, ref.roi_end
     mbs_static = mbs
@@ -161,18 +148,12 @@ def build_device_ref(ref: CompiledRef, pads: dict | None = None, bucket: int = 1
         u_chrom, u_start, u_len, u_off = _pad_rows(
             (u_chrom, u_start, u_len, u_off), pads["uspan"]
         )
-        bs_c, bs_v = _pad_rows((bs_c, bs_v), pads["bstart"])
-        be_c, be_v = _pad_rows((be_c, be_v), pads["bend"])
-        pr_c, pr_s, pr_e = _pad_rows((pr_c, pr_s, pr_e), pads["pair"])
         pt_c, pt_v = _pad_rows((pt_c, pt_v), pads["point"])
         ro_c, ro_s, ro_e = _pad_rows((ro_c, ro_s, ro_e), pads["roi"])
         mbs_static = pads["mbs"]
 
     uc, us, ul, uo = _pad_sentinel(u_chrom, u_start, u_len, u_off)
     uo[-1] = mbs  # sentinel offset = REAL MBS size (also the trash rank)
-    bs = _pad_sentinel(bs_c, bs_v)
-    be = _pad_sentinel(be_c, be_v)
-    pr = _pad_sentinel(pr_c, pr_s, pr_e)
     pt = _pad_sentinel(pt_c, pt_v)
     ro = _pad_sentinel(ro_c, ro_s, ro_e)
 
@@ -201,13 +182,6 @@ def build_device_ref(ref: CompiledRef, pads: dict | None = None, bucket: int = 1
         uspan_len=j(ul),
         uspan_off=j(uo),
         chrom_base=j(chrom_base if chrom_base.size else np.zeros(1, np.int32)),
-        bstart_chrom=j(bs[0]),
-        bstart_coord=j(bs[1]),
-        bend_chrom=j(be[0]),
-        bend_coord=j(be[1]),
-        pair_chrom=j(pr[0]),
-        pair_start=j(pr[1]),
-        pair_end=j(pr[2]),
         point_chrom=j(pt[0]),
         point_coord=j(pt[1]),
         roi_chrom=j(ro[0]),
