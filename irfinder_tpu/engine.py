@@ -201,25 +201,21 @@ class Engine:
         t0 = time.perf_counter()
         cache: dict = {}
         if self._device_stats:
-            # per-intron stats on device: the nondir table needs the
-            # strand-summed plane for every intron; the dir table needs each
-            # annotation-strand subset's plane (flip picks which)
-            from .ops.finalize_stats import build_finalize_ref, device_depth_stats
+            # per-intron stats on device, all three variants in ONE program
+            # with one packed D2H (per-dispatch latency dominates finalize on
+            # tunneled chips): the nondir table needs the strand-summed plane
+            # for every intron; the dir table needs each annotation-strand
+            # subset's plane (flip picks which)
+            from .ops.finalize_stats import build_finalize_ref, device_all_stats
 
             if self._finref is None:
                 self._finref = build_finalize_ref(self.ref)
             depth_dev = jax.numpy.asarray(fc["depth"])
-            dsum_both = jax.jit(lambda d: (d[0] + d[1]))(depth_dev)
-            interp = self._stats_interpret
-            cache[2] = device_depth_stats(
-                self.ref, self._finref, dsum_both, "both", interpret=interp
-            )
-            plane_a = 1 if flip else 0
-            cache[plane_a] = device_depth_stats(
-                self.ref, self._finref, depth_dev[plane_a], "A", interpret=interp
-            )
-            cache[1 - plane_a] = device_depth_stats(
-                self.ref, self._finref, depth_dev[1 - plane_a], "B", interpret=interp
+            cache.update(
+                device_all_stats(
+                    self.ref, self._finref, depth_dev, bool(flip),
+                    interpret=self._stats_interpret,
+                )
             )
             fc = dict(fc)
             fc["depth"] = None  # never pulled; all variants precomputed

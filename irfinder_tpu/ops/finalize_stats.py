@@ -239,33 +239,20 @@ def _ridx(n_bases: np.ndarray) -> np.ndarray:
     return out
 
 
-def device_depth_stats(
-    ref: CompiledRef,
-    finref: FinalizeRef,
-    dsum_dev,
-    subset_key: str,
-    interpret: bool = False,
-):
-    """Full 7-tuple of per-intron stats for one depth plane, matching
-    finalize._depth_stats_vectorized bit-for-bit.  dsum_dev: device (mbs,)
-    int32.  Stats are n_introns-sized with entries outside the subset zero."""
+def _host_finish(ref, finref, sub, run_sum, run_nz, fw_sum, lw_sum, pk, sat_vals_fn):
+    """Per-run device sums + per-intron percentile bins -> the 7-tuple,
+    matching finalize._depth_stats_vectorized bit-for-bit.  sat_vals_fn(sat)
+    pulls the (rare) cap-saturated introns' per-base depths for the exact
+    host-sort fallback."""
     N = ref.n_introns
-    sub = finref.subsets[subset_key]
-    run_sum, run_nz, fw_sum, lw_sum = (
-        np.asarray(v)
-        for v in _device_sums(
-            dsum_dev, finref.run_lo, finref.run_hi,
-            finref.fw_lo, finref.fw_hi, finref.lw_lo, finref.lw_hi,
-        )
-    )
     sums = np.zeros(N, np.int64)
     nzs = np.zeros(N, np.int64)
-    np.add.at(sums, finref.run_intron, run_sum)
-    np.add.at(nzs, finref.run_intron, run_nz)
+    np.add.at(sums, finref.run_intron, run_sum.astype(np.int64))
+    np.add.at(nzs, finref.run_intron, run_nz.astype(np.int64))
     fws = np.zeros(N, np.int64)
     lws = np.zeros(N, np.int64)
-    np.add.at(fws, finref.fw_intron, fw_sum)
-    np.add.at(lws, finref.lw_intron, lw_sum)
+    np.add.at(fws, finref.fw_intron, fw_sum.astype(np.int64))
+    np.add.at(lws, finref.lw_intron, lw_sum.astype(np.int64))
 
     nb = finref.n_bases
     nz_mask = nb > 0
@@ -281,16 +268,11 @@ def device_depth_stats(
 
     p = np.zeros((3, N), np.int64)
     if sub.introns.size:
-        pk_dev, vals_dev = _device_hist(dsum_dev, sub, sub.ridx, interpret)
-        pk = np.asarray(pk_dev).astype(np.int64)
+        pk = pk.astype(np.int64)
         # saturated percentiles: exact host sort over just those bases
         sat = np.nonzero(((pk >= CAP - 1).any(axis=0)) & (sub.n_bases > 0))[0]
         if sat.size:
-            # one batched pull of just the saturated introns' bases
-            take_idx = np.concatenate(
-                [np.arange(sub.flat_off[i], sub.flat_off[i + 1]) for i in sat]
-            )
-            pulled = np.asarray(jnp.take(vals_dev, jnp.asarray(take_idx)))
+            pulled = sat_vals_fn(sat)
             off = np.concatenate([[0], np.cumsum(sub.n_bases[sat])])
             for j_, i_loc in enumerate(sat):
                 d = np.sort(pulled[off[j_] : off[j_ + 1]])
@@ -300,3 +282,156 @@ def device_depth_stats(
         for k in range(3):
             p[k, sub.introns] = np.where(sub.n_bases > 0, pk[k], 0)
     return cov, mean, p[0], p[1], p[2], firstw, lastw
+
+
+def device_depth_stats(
+    ref: CompiledRef,
+    finref: FinalizeRef,
+    dsum_dev,
+    subset_key: str,
+    interpret: bool = False,
+):
+    """Full 7-tuple of per-intron stats for one depth plane, matching
+    finalize._depth_stats_vectorized bit-for-bit.  dsum_dev: device (mbs,)
+    int32.  Stats are n_introns-sized with entries outside the subset zero."""
+    sub = finref.subsets[subset_key]
+    run_sum, run_nz, fw_sum, lw_sum = (
+        np.asarray(v)
+        for v in _device_sums(
+            dsum_dev, finref.run_lo, finref.run_hi,
+            finref.fw_lo, finref.fw_hi, finref.lw_lo, finref.lw_hi,
+        )
+    )
+    if sub.introns.size:
+        pk_dev, vals_dev = _device_hist(dsum_dev, sub, sub.ridx, interpret)
+        pk = np.asarray(pk_dev)
+    else:
+        pk = np.zeros((3, 0), np.int32)
+
+    def sat_vals(sat):
+        take_idx = np.concatenate(
+            [np.arange(sub.flat_off[i], sub.flat_off[i + 1]) for i in sat]
+        )
+        return np.asarray(jnp.take(vals_dev, jnp.asarray(take_idx)))
+
+    return _host_finish(ref, finref, sub, run_sum, run_nz, fw_sum, lw_sum, pk, sat_vals)
+
+
+#: order of the packed per-subset sections in device_all_stats
+_SUBSET_ORDER = ("both", "A", "B")
+
+
+def _all_stats_fn(finref: FinalizeRef, interpret: bool):
+    """One jitted program computing every variant's sums + percentile bins,
+    packed into a single int32 vector (ONE dispatch + ONE D2H per sample —
+    per-call latency dominates finalize on tunneled chips, and batch mode
+    finalizes N samples)."""
+    key = ("_all_stats", interpret)
+    cache = getattr(finref, "_fn_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(finref, "_fn_cache", cache)
+    if key in cache:
+        return cache[key]
+
+    sizes = {k_: finref.subsets[k_].introns.size for k_ in _SUBSET_ORDER}
+    hist_lens = {k_: finref.subsets[k_].hist_len for k_ in _SUBSET_ORDER}
+
+    def go(depth, plane_a, tables):
+        # plane_a: 0/1 traced scalar — which depth plane feeds subset A
+        # (library-polarity flip); subset B gets the other plane.  All index
+        # structure arrives via `tables` (jit ARGUMENTS — closure capture
+        # would bake ~100s of MB of constants into the HLO, which the remote
+        # compile service rejects).
+        parts = []
+        for k_ in _SUBSET_ORDER:
+            if k_ == "both":
+                dsum = depth[0] + depth[1]
+            else:
+                sel = plane_a if k_ == "A" else 1 - plane_a
+                dsum = jnp.where(sel == 0, depth[0], depth[1])
+            rs, rn, fw, lw = _device_sums(
+                dsum, tables["run_lo"], tables["run_hi"],
+                tables["fw_lo"], tables["fw_hi"], tables["lw_lo"], tables["lw_hi"],
+            )
+            parts += [rs, rn, fw, lw]
+            if sizes[k_]:
+                t = tables[k_]
+                pk, _ = _hist_jit(
+                    dsum, t["flat_src"], t["flat_base"], t["tile_offs"], t["ridx"],
+                    n_sub=sizes[k_], hist_len=hist_lens[k_], cap=CAP,
+                    interpret=interpret,
+                )
+                parts.append(pk.reshape(-1))
+        return jnp.concatenate([p.reshape(-1).astype(jnp.int32) for p in parts])
+
+    fn = jax.jit(go)
+    cache[key] = fn
+    return fn
+
+
+def _stats_tables(finref: FinalizeRef) -> dict:
+    t = {
+        "run_lo": finref.run_lo, "run_hi": finref.run_hi,
+        "fw_lo": finref.fw_lo, "fw_hi": finref.fw_hi,
+        "lw_lo": finref.lw_lo, "lw_hi": finref.lw_hi,
+    }
+    for k_ in _SUBSET_ORDER:
+        sub = finref.subsets[k_]
+        t[k_] = {
+            "flat_src": sub.flat_src, "flat_base": sub.flat_base,
+            "tile_offs": sub.tile_offs, "ridx": sub.ridx,
+        }
+    return t
+
+
+def device_all_stats(
+    ref: CompiledRef,
+    finref: FinalizeRef,
+    depth_dev,
+    flip: bool,
+    interpret: bool = False,
+) -> dict:
+    """All three stats variants (strand-summed + each plane's annotation
+    subset) in one device program: returns {2: stats, plane_a: stats,
+    1-plane_a: stats} keyed exactly as intron_rows' stats_cache expects."""
+    fn = _all_stats_fn(finref, interpret)
+    plane_a = 1 if flip else 0
+    packed = np.asarray(fn(depth_dev, jnp.int32(plane_a), _stats_tables(finref)))
+
+    R = int(finref.run_lo.shape[0])
+    F = int(finref.fw_lo.shape[0])
+    L = int(finref.lw_lo.shape[0])
+    out = {}
+    pos = 0
+    for k_ in _SUBSET_ORDER:
+        sub = finref.subsets[k_]
+        rs = packed[pos : pos + R]; pos += R
+        rn = packed[pos : pos + R]; pos += R
+        fw = packed[pos : pos + F]; pos += F
+        lw = packed[pos : pos + L]; pos += L
+        if sub.introns.size:
+            pk = packed[pos : pos + 3 * sub.introns.size].reshape(3, -1)
+            pos += 3 * sub.introns.size
+        else:
+            pk = np.zeros((3, 0), np.int32)
+
+        def sat_vals(sat, k_=k_, sub=sub):
+            # rare exact-fallback path: recompute the variant's dsum and pull
+            # just the saturated introns' bases
+            if k_ == "both":
+                dsum = jax.jit(lambda d: d[0] + d[1])(depth_dev)
+            else:
+                pl_ = plane_a if k_ == "A" else 1 - plane_a
+                dsum = depth_dev[pl_]
+            take_idx = np.concatenate(
+                [np.arange(sub.flat_off[i], sub.flat_off[i + 1]) for i in sat]
+            )
+            flat = jnp.take(jnp.asarray(sub.flat_src), jnp.asarray(take_idx))
+            return np.asarray(jnp.take(dsum, flat))
+
+        variant = 2 if k_ == "both" else (plane_a if k_ == "A" else 1 - plane_a)
+        out[variant] = _host_finish(
+            ref, finref, sub, rs, rn, fw, lw, pk, sat_vals
+        )
+    return out
