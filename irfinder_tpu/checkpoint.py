@@ -54,6 +54,12 @@ def load_checkpoint(path: str):
         return None
     with np.load(path) as z:
         cnt = z["cnt"]
+        if "chrn" not in z:
+            raise ValueError(
+                f"checkpoint {path} uses the old single-array counter layout "
+                "(before the per-refid tally split); it cannot be resumed — "
+                "delete it and rerun"
+            )
         chrn = z["chrn"]
         tally = {}
         for k, v in zip(z["junc_keys"], z["junc_vals"]):

@@ -169,7 +169,13 @@ def build_device_ref(ref: CompiledRef, pads: dict | None = None, bucket: int = 1
 
     rank_mbs = rank_point = None
     n_u, n_p = int(len(u_chrom)), int(len(pt_c))
-    if (n_u + 1) <= MAX_NB * 128 and (n_p + 1) <= MAX_NB * 128:
+    # the kernel packs chrom ids into two 8-bit planes (and decodes the pad
+    # sentinel as 65535), so refs with >= 60000 contigs keep the XLA path
+    if (
+        (n_u + 1) <= MAX_NB * 128
+        and (n_p + 1) <= MAX_NB * 128
+        and len(ref.chroms) < 60000
+    ):
         rank_mbs = build_rank_tables(
             u_chrom, u_start, "mbs", len_col=u_len, off_col=u_off
         )

@@ -84,7 +84,13 @@ def _edge_pieces(ref: CompiledRef, n_bases: np.ndarray, run_intron: np.ndarray):
     starts = ref.run_mbs_start.astype(np.int64)
     # intron-local base offset of each run (cumsum reset per intron)
     cl = np.cumsum(lens) - lens
-    seg0 = cl[ref.intron_run_off[:-1].astype(np.int64)] if lens.size else np.zeros(0, np.int64)
+    # introns with zero included bases can sit at the tail with
+    # intron_run_off[i] == R; clip (their seg0 entry is never referenced
+    # because they own no runs)
+    first_run = np.minimum(
+        ref.intron_run_off[:-1].astype(np.int64), max(len(lens) - 1, 0)
+    )
+    seg0 = cl[first_run] if lens.size else np.zeros(0, np.int64)
     b0 = cl - (seg0[run_intron] if lens.size else 0)
     n = n_bases[run_intron]
     w = np.minimum(W, n)
@@ -143,6 +149,27 @@ def _build_subset(ref: CompiledRef, introns: np.ndarray, n_bases: np.ndarray) ->
     )
 
 
+#: maximum bases per device-sum piece: caps any single prefix-difference at
+#: RUN_SPLIT * max_depth, keeping the int32 wraparound subtraction exact for
+#: depths up to ~500k even on 100 kb intron runs
+RUN_SPLIT = 4096
+
+
+def _split_runs(starts: np.ndarray, lens: np.ndarray, introns: np.ndarray):
+    """Split runs longer than RUN_SPLIT into consecutive pieces (same intron),
+    so per-piece depth sums stay far inside int31."""
+    n_pieces = -(-lens // RUN_SPLIT)
+    n_pieces = np.maximum(n_pieces, 1)
+    total = int(n_pieces.sum())
+    rep = np.repeat(np.cumsum(n_pieces) - n_pieces, n_pieces)
+    k = np.arange(total, dtype=np.int64) - rep  # piece index within its run
+    base = np.repeat(starts, n_pieces)
+    ln = np.repeat(lens, n_pieces)
+    lo = base + k * RUN_SPLIT
+    hi = np.minimum(base + (k + 1) * RUN_SPLIT, base + ln)
+    return lo, hi, np.repeat(introns, n_pieces)
+
+
 def build_finalize_ref(ref: CompiledRef) -> FinalizeRef:
     cached = getattr(ref, "_finalize_ref_cache", None)
     if cached is not None:
@@ -159,11 +186,14 @@ def build_finalize_ref(ref: CompiledRef) -> FinalizeRef:
         "A": _build_subset(ref, np.nonzero(istrand == 0)[0], n_bases),
         "B": _build_subset(ref, np.nonzero(istrand == 1)[0], n_bases),
     }
+    r_lo, r_hi, r_intron = _split_runs(
+        ref.run_mbs_start.astype(np.int64), ref.run_len.astype(np.int64), run_intron
+    )
     j = jnp.asarray
     out = FinalizeRef(
-        run_lo=j(ref.run_mbs_start.astype(np.int32)),
-        run_hi=j((ref.run_mbs_start + ref.run_len).astype(np.int32)),
-        run_intron=run_intron,
+        run_lo=j(r_lo.astype(np.int32)),
+        run_hi=j(r_hi.astype(np.int32)),
+        run_intron=r_intron,
         fw_lo=fw[0], fw_hi=fw[1], fw_intron=fw[2],
         lw_lo=fw[3], lw_hi=fw[4], lw_intron=fw[5],
         n_bases=n_bases,
@@ -320,6 +350,8 @@ def device_depth_stats(
 #: order of the packed per-subset sections in device_all_stats
 _SUBSET_ORDER = ("both", "A", "B")
 
+_dsum_both_jit = jax.jit(lambda d: d[0] + d[1])
+
 
 def _all_stats_fn(finref: FinalizeRef, interpret: bool):
     """One jitted program computing every variant's sums + percentile bins,
@@ -420,7 +452,7 @@ def device_all_stats(
             # rare exact-fallback path: recompute the variant's dsum and pull
             # just the saturated introns' bases
             if k_ == "both":
-                dsum = jax.jit(lambda d: d[0] + d[1])(depth_dev)
+                dsum = _dsum_both_jit(depth_dev)
             else:
                 pl_ = plane_a if k_ == "A" else 1 - plane_a
                 dsum = depth_dev[pl_]

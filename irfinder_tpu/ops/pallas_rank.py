@@ -172,17 +172,20 @@ def build_rank_tables(chrom, key, kind: str, len_col=None, off_col=None):
     t_chrom = np.concatenate([t_chrom, np.full(nb2p - nb2, PAD_KEY, np.int32)])
     t_key = np.concatenate([t_key, np.zeros(nb2p - nb2, np.int32)])
 
-    # pad bottom rows to a sublane multiple for clean VMEM layout
+    # pad bottom/mid rows to a sublane multiple for clean VMEM layout.  Pad
+    # rows MUST decode as lex-+inf keys: for kind='mbs' the descent count can
+    # legitimately reach nb2 (all real first-keys <= q when the last real
+    # bucket mixes real and sentinel keys), so the gathered pad row's chrom
+    # must compare greater than every query.  Biased plane byte 127 decodes
+    # to 0xFF per plane (chrom 65535), which is +inf for real chrom ids.
     nbp = _round_up(nb, 8)
     if nbp != nb:
-        botp = np.full((nbp, bot.shape[1]), -128, np.int8)
+        botp = np.full((nbp, bot.shape[1]), 127, np.int8)
         botp[:nb] = bot
-        # padded rows must behave as +inf-key sentinels if ever gathered;
-        # descent never reaches them (b <= nb-1), so plane content is moot
         bot = botp
     nb2pp = _round_up(nb2, 8)
     if nb2pp != nb2:
-        midp = np.full((nb2pp, mid.shape[1]), -128, np.int8)
+        midp = np.full((nb2pp, mid.shape[1]), 127, np.int8)
         midp[:nb2] = mid
         mid = midp
 

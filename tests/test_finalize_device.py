@@ -63,3 +63,36 @@ def test_saturated_fallback(ref, monkeypatch):
     finref = FS.build_finalize_ref(ref)
     d = _rand_depth(ref, 5, hot=20)
     _check(ref, finref, d, "both", np.arange(ref.n_introns))
+
+
+def test_trailing_zero_run_intron():
+    """Regression: an intron with zero included bases at the END of the CSR
+    (intron_run_off[i] == R) must not crash build_finalize_ref."""
+    import dataclasses
+
+    import numpy as np
+
+    base = compile_reference(toy_exons(), chrom_order=CHROMS, rois=ROIS)
+    # append a synthetic fully-excluded intron owning no runs
+    ref2 = dataclasses.replace(
+        base,
+        intron_chrom=np.concatenate([base.intron_chrom, [0]]).astype(base.intron_chrom.dtype),
+        intron_start=np.concatenate([base.intron_start, [1]]).astype(base.intron_start.dtype),
+        intron_end=np.concatenate([base.intron_end, [2]]).astype(base.intron_end.dtype),
+        intron_strand=np.concatenate([base.intron_strand, [0]]).astype(base.intron_strand.dtype),
+        intron_names=list(base.intron_names) + ["G/x/clean"],
+        intron_run_off=np.concatenate(
+            [base.intron_run_off, [base.intron_run_off[-1]]]
+        ).astype(base.intron_run_off.dtype),
+        intron_bstart_idx=np.concatenate([base.intron_bstart_idx, [0]]).astype(base.intron_bstart_idx.dtype),
+        intron_bend_idx=np.concatenate([base.intron_bend_idx, [0]]).astype(base.intron_bend_idx.dtype),
+        intron_pair_idx=np.concatenate([base.intron_pair_idx, [0]]).astype(base.intron_pair_idx.dtype),
+        intron_pstart_idx=np.concatenate([base.intron_pstart_idx, [0]]).astype(base.intron_pstart_idx.dtype),
+        intron_pend_idx=np.concatenate([base.intron_pend_idx, [0]]).astype(base.intron_pend_idx.dtype),
+    )
+    finref = FS.build_finalize_ref(ref2)
+    d = _rand_depth(ref2, 1)
+    got = FS.device_depth_stats(ref2, finref, jnp.asarray(d), "both", interpret=True)
+    want = _depth_stats_vectorized(ref2, d.astype(np.int64))
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

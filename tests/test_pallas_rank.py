@@ -166,3 +166,33 @@ def test_shard_padded_tables(seed=7):
     np.add.at(want_sp, strand * (P + 1) + np.where(ok, want[2], P), 1)
     np.add.at(want_sp, strand * (P + 1) + np.where(ok, want[3], P), -1)
     np.testing.assert_array_equal(np.asarray(spans), want_sp, err_msg="spans")
+
+
+def test_mbs_descent_past_last_mid_row():
+    """Regression: when every real mid-row first-key <= q, the descent gathers
+    the mid PAD row — whose planes must decode as +inf, not (0,0).  Triggered
+    whenever nb2pp > nb2 and the query lies at/after the last bucket's first
+    key (e.g. reads mapping to the reference's final region)."""
+    n = 16300  # nb = 128 (one mid row), last bucket mixes real + sentinel keys
+    chrom = np.zeros(n, np.int32)
+    start = (np.arange(n, dtype=np.int32) * 10).astype(np.int32)
+    ln = np.full(n, 4, np.int32)
+    off = (np.arange(n, dtype=np.int64) * 4).astype(np.int32)
+    mbs_t = build_rank_tables(chrom, start, "mbs", len_col=ln, off_col=off)
+    pts_c = np.zeros(4, np.int32)
+    pts_v = np.array([10, 20, 30, 40], np.int32)
+    pt_t = build_rank_tables(pts_c, pts_v, "point")
+
+    qs = np.array([start[-1], start[-1] + 2, start[-1] + 1000], np.int32)
+    qe = qs + 100
+    qc = np.zeros_like(qs)
+    strand = np.zeros_like(qs)
+    lo, hi, _ = block_ranks_pallas(
+        mbs_t, pt_t, jnp.asarray(qc), jnp.asarray(qs), jnp.asarray(qe),
+        jnp.asarray(strand), OH, 4, interpret=True,
+    )
+    total = int(off[-1] + ln[-1])
+    np.testing.assert_array_equal(
+        np.asarray(lo), [int(off[-1]), int(off[-1]) + 2, total]
+    )
+    np.testing.assert_array_equal(np.asarray(hi), [total, total, total])
