@@ -179,20 +179,84 @@ class Engine:
         junction counting lives on the host tally, not the device step)."""
         st = st or self._st
         t0 = time.perf_counter()
-        fin = self._finalize(self.dref, st.counters)
+        fin = self._finalize(self.dref, st.counters)  # async dispatch
+        # host junction join overlaps the device finalize program
+        sc, ec, xc = junction_counters(self.ref, st.junc_tally)
         out = {
             k: (v if self._device_stats and k == "depth" else np.asarray(v))
             for k, v in fin.items()
         }
-        sc, ec, xc = junction_counters(self.ref, st.junc_tally)
         out["start_cnt"], out["end_cnt"], out["exact_cnt"] = sc, ec, xc
         st.metrics.finalize_s += time.perf_counter() - t0
         return out
 
+    def results_async(self, st: SampleState | None = None):
+        """Dispatch every device program this sample's finalize needs (the
+        counter finalize, then the fused stats program) WITHOUT blocking, and
+        return a zero-arg callable that blocks on the D2H pulls and builds
+        the full result bundle.  JAX dispatch is asynchronous, so the host
+        junction join and directionality call here overlap the device
+        finalize, and in batch mode the device computes sample i+1's stats
+        while the host unpacks and formats sample i."""
+        st = st or self._st
+        t0 = time.perf_counter()
+        fin = self._finalize(self.dref, st.counters)  # async device dispatch
+        # host work below overlaps the finalize program
+        sc, ec, xc = junction_counters(self.ref, st.junc_tally)
+        stranded, flip, frac, n_inf = detect_directionality(self.ref, xc)
+        st.metrics.is_stranded = bool(stranded)
+        st.metrics.flip_strand = bool(flip)
+        st.metrics.dir_concordance = float(frac)
+        st.metrics.dir_informative = int(n_inf)
+        pending = None
+        if self._device_stats:
+            from .ops.finalize_stats import build_finalize_ref, device_all_stats_async
+
+            if self._finref is None:
+                self._finref = build_finalize_ref(self.ref)
+            pending = device_all_stats_async(
+                self.ref, self._finref, fin["depth"], bool(flip),
+                interpret=self._stats_interpret,
+            )
+        st.metrics.finalize_s += time.perf_counter() - t0
+
+        def finish() -> dict:
+            t1 = time.perf_counter()
+            fc = {
+                k: (None if (pending is not None and k == "depth") else np.asarray(v))
+                for k, v in fin.items()
+            }
+            fc["start_cnt"], fc["end_cnt"], fc["exact_cnt"] = sc, ec, xc
+            cache: dict = {}
+            if pending is not None:
+                cache.update(pending())
+            args = (
+                self.ref,
+                fc["depth"],
+                fc["start_cnt"],
+                fc["end_cnt"],
+                fc["exact_cnt"],
+                fc["span_hits"],
+            )
+            out = {
+                "counters": fc,
+                "rows_nondir": intron_rows(*args, mode="nondir", stats_cache=cache),
+                "rows_dir": intron_rows(
+                    *args, mode="dir", flip_strand=flip, stats_cache=cache
+                ),
+                "stranded": stranded,
+                "flip_strand": flip,
+            }
+            st.metrics.finalize_s += time.perf_counter() - t1
+            return out
+
+        return finish
+
     def results(self, fc: dict | None = None, st: SampleState | None = None) -> dict:
         """Full result bundle: nondir rows, directionality call, dir rows."""
         st = st or self._st
-        fc = fc if fc is not None else self.counters_host(st)
+        if fc is None:
+            return self.results_async(st)()
         stranded, flip, frac, n_inf = detect_directionality(self.ref, fc["exact_cnt"])
         st.metrics.is_stranded = bool(stranded)
         st.metrics.flip_strand = bool(flip)
@@ -376,9 +440,12 @@ def run_multi_bam(
 
     out_metrics = []
     wall = time.perf_counter() - t0
-    for s, out_dir in zip(streams, out_dirs):
+    # dispatch every sample's finalize + stats programs first, then unpack:
+    # the device computes sample i+1 while the host joins/formats sample i
+    finishes = [engine.results_async(st=s["st"]) for s in streams]
+    for s, out_dir, finish in zip(streams, out_dirs, finishes):
         st = s["st"]
-        res = engine.results(st=st)
+        res = finish()
         st.metrics.reads_total = s["stats"].reads_total
         st.metrics.reads_admitted = s["stats"].reads_admitted
         st.metrics.fragments = s["stats"].fragments

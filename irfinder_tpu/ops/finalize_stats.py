@@ -417,6 +417,43 @@ def _stats_tables(finref: FinalizeRef) -> dict:
     return t
 
 
+def _stats_tables_dev(finref: FinalizeRef):
+    """Device-resident copy of the index tables, transferred ONCE per finref.
+    The tables are jit arguments (see _all_stats_fn), and passing host NumPy
+    arrays would re-run the H2D transfer on every finalize call — batch mode
+    finalizes N samples against the same reference, and the tables are the
+    largest per-call payload by far."""
+    cache = getattr(finref, "_fn_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(finref, "_fn_cache", cache)
+    t = cache.get("_tables_dev")
+    if t is None:
+        t = jax.device_put(_stats_tables(finref))
+        cache["_tables_dev"] = t
+    return t
+
+
+def device_all_stats_async(
+    ref: CompiledRef,
+    finref: FinalizeRef,
+    depth_dev,
+    flip: bool,
+    interpret: bool = False,
+):
+    """Dispatch the fused stats program without blocking; returns a zero-arg
+    callable that blocks on the single packed D2H and unpacks the result.
+    JAX dispatch is asynchronous, so host work between dispatch and finish
+    (counter pulls, junction joins, row-column prep) overlaps the device
+    compute — the finalize critical path on tunneled chips."""
+    fn = _all_stats_fn(finref, interpret)
+    plane_a = 1 if flip else 0
+    packed_dev = fn(depth_dev, jnp.int32(plane_a), _stats_tables_dev(finref))
+    return lambda: _unpack_all_stats(
+        ref, finref, depth_dev, plane_a, np.asarray(packed_dev)
+    )
+
+
 def device_all_stats(
     ref: CompiledRef,
     finref: FinalizeRef,
@@ -427,10 +464,16 @@ def device_all_stats(
     """All three stats variants (strand-summed + each plane's annotation
     subset) in one device program: returns {2: stats, plane_a: stats,
     1-plane_a: stats} keyed exactly as intron_rows' stats_cache expects."""
-    fn = _all_stats_fn(finref, interpret)
-    plane_a = 1 if flip else 0
-    packed = np.asarray(fn(depth_dev, jnp.int32(plane_a), _stats_tables(finref)))
+    return device_all_stats_async(ref, finref, depth_dev, flip, interpret)()
 
+
+def _unpack_all_stats(
+    ref: CompiledRef,
+    finref: FinalizeRef,
+    depth_dev,
+    plane_a: int,
+    packed: np.ndarray,
+) -> dict:
     R = int(finref.run_lo.shape[0])
     F = int(finref.fw_lo.shape[0])
     L = int(finref.lw_lo.shape[0])

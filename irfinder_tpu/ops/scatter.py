@@ -65,21 +65,33 @@ def _apply_kernel(offs_ref, idx_hbm, val_hbm, cnt_in, cnt_out, idx_s, val_s, acc
     lane_iota_t = jax.lax.broadcasted_iota(jnp.int32, (128, W), 0)
     base = t * TILE
 
+    # double-buffered window stream: the (w+1)-window DMA runs while window w
+    # computes — the serial start/wait version paid the full copy latency per
+    # window, which dominated at ~4 KB/transfer
+    @pl.when(w_start < w_end)
+    def _prefetch_first():
+        pltpu.make_async_copy(idx_hbm.at[w_start], idx_s.at[0], sem_i.at[0]).start()
+        pltpu.make_async_copy(val_hbm.at[w_start], val_s.at[0], sem_v.at[0]).start()
+
     def body(w, _):
-        ci = pltpu.make_async_copy(idx_hbm.at[w], idx_s, sem_i)
-        cv = pltpu.make_async_copy(val_hbm.at[w], val_s, sem_v)
-        ci.start()
-        cv.start()
-        ci.wait()
-        cv.wait()
+        slot = (w - w_start) % 2
+        nslot = 1 - slot
+        pltpu.make_async_copy(idx_hbm.at[w], idx_s.at[slot], sem_i.at[slot]).wait()
+        pltpu.make_async_copy(val_hbm.at[w], val_s.at[slot], sem_v.at[slot]).wait()
+
+        @pl.when(w + 1 < w_end)
+        def _prefetch_next():
+            pltpu.make_async_copy(idx_hbm.at[w + 1], idx_s.at[nslot], sem_i.at[nslot]).start()
+            pltpu.make_async_copy(val_hbm.at[w + 1], val_s.at[nslot], sem_v.at[nslot]).start()
+
         gpos = w * W + lane_iota  # (1, W) global update positions
         valid = (gpos >= u0) & (gpos < u1)
-        idx = idx_s[:].reshape(1, W)
+        idx = idx_s[slot].reshape(1, W)
         rq = (idx - base) >> 7  # (1, W) tile-local rows
         a_t = jnp.where((row_iota == rq) & valid, 1, 0).astype(jnp.int8)
         # B transposed, built in lane layout (no sublane reshape on TPU):
         # B_T[l, q] = onehot(lane(q)) * val(q); contract both operands on q
-        b_t = jnp.where(lane_iota_t == (idx & 127), val_s[:].reshape(1, W), 0).astype(jnp.int8)
+        b_t = jnp.where(lane_iota_t == (idx & 127), val_s[slot].reshape(1, W), 0).astype(jnp.int8)
         acc[:] += jax.lax.dot_general(
             a_t,
             b_t,
@@ -132,11 +144,11 @@ def scatter_add_pallas(cnt, idx, val, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((rows, 128), lambda t, s: (t, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((8, W // 8), jnp.int32),
-            pltpu.VMEM((8, W // 8), jnp.int32),
+            pltpu.VMEM((2, 8, W // 8), jnp.int32),
+            pltpu.VMEM((2, 8, W // 8), jnp.int32),
             pltpu.VMEM((rows, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
@@ -185,13 +197,25 @@ def _hist_kernel(offs_ref, idx_hbm, cnt_in, cnt_out, idx_s, acc, sem_i):
     lane_iota_t = jax.lax.broadcasted_iota(jnp.int32, (128, W), 0)
     base = t * TILE
 
+    # double-buffered like _apply_kernel: window w+1's DMA overlaps window
+    # w's one-hot matmuls (the histogram streams ~1 update/base, so this
+    # kernel is the finalize-stats hot loop)
+    @pl.when(w_start < w_end)
+    def _prefetch_first():
+        pltpu.make_async_copy(idx_hbm.at[w_start], idx_s.at[0], sem_i.at[0]).start()
+
     def body(w, _):
-        ci = pltpu.make_async_copy(idx_hbm.at[w], idx_s, sem_i)
-        ci.start()
-        ci.wait()
+        slot = (w - w_start) % 2
+        nslot = 1 - slot
+        pltpu.make_async_copy(idx_hbm.at[w], idx_s.at[slot], sem_i.at[slot]).wait()
+
+        @pl.when(w + 1 < w_end)
+        def _prefetch_next():
+            pltpu.make_async_copy(idx_hbm.at[w + 1], idx_s.at[nslot], sem_i.at[nslot]).start()
+
         gpos = w * W + lane_iota
         valid = (gpos >= u0) & (gpos < u1)
-        idx = idx_s[:].reshape(1, W)
+        idx = idx_s[slot].reshape(1, W)
         rq = (idx - base) >> 7
         a_t = jnp.where((row_iota == rq) & valid, 1, 0).astype(jnp.int8)
         b_t = (lane_iota_t == (idx & 127)).astype(jnp.int8)  # all vals are +1
@@ -233,9 +257,9 @@ def hist_scatter_pallas(cnt, idx, tile_offs, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((rows, 128), lambda t, s: (t, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((8, W // 8), jnp.int32),
+            pltpu.VMEM((2, 8, W // 8), jnp.int32),
             pltpu.VMEM((rows, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
