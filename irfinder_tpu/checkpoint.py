@@ -25,13 +25,9 @@ import numpy as np
 
 def save_checkpoint(path: str, st, engine=None) -> None:
     """Snapshot a SampleState: counters (D2H), junction tally, progress."""
-    tally = st.junc_tally
-    if tally:
-        keys = np.array(sorted(tally.keys()), dtype=np.int64)  # (n, 3)
-        vals = np.array([tally[tuple(k)] for k in keys.tolist()], dtype=np.int64)
-    else:
-        keys = np.zeros((0, 3), np.int64)
-        vals = np.zeros((0, 2), np.int64)
+    from .junctions import coerce_tally
+
+    keys, vals = coerce_tally(st.junc_tally).merged()  # (n,3)/(n,2) int64
     tmp = path + ".tmp"
     np.savez_compressed(
         tmp if tmp.endswith(".npz") else tmp,
@@ -48,8 +44,10 @@ def save_checkpoint(path: str, st, engine=None) -> None:
 
 
 def load_checkpoint(path: str):
-    """Returns (cnt ndarray, junc_tally dict, batches_done, n_refids) or
+    """Returns ((cnt, chr) ndarrays, JuncTally, batches_done, n_refids) or
     None when no checkpoint exists."""
+    from .junctions import JuncTally
+
     if not os.path.exists(path):
         return None
     with np.load(path) as z:
@@ -61,9 +59,8 @@ def load_checkpoint(path: str):
                 "delete it and rerun"
             )
         chrn = z["chrn"]
-        tally = {}
-        for k, v in zip(z["junc_keys"], z["junc_vals"]):
-            tally[(int(k[0]), int(k[1]), int(k[2]))] = [int(v[0]), int(v[1])]
+        tally = JuncTally()
+        tally.add_rows(z["junc_keys"], z["junc_vals"])
         return (cnt, chrn), tally, int(z["batches_done"]), int(z["n_refids"])
 
 

@@ -9,8 +9,9 @@ finalizes (two cumsums on device + per-intron join on host) and writes the
 output table set byte-exactly (irfinder_tpu.format).
 
 Observed splice junctions (sparse dynamic keys, for IRFinder-JuncCount.txt)
-are tallied host-side with vectorized np.unique per batch — the one counter
-that does not map to dense device scatter targets.
+are tallied host-side by the array-chunk accumulator in
+irfinder_tpu.junctions — the one counter that does not map to dense device
+scatter targets; no per-key Python loop anywhere on the hot path.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ import numpy as np
 
 from . import format as fmt
 from .finalize import detect_directionality, intron_rows, junction_counters
+from .junctions import JuncTally
 from .io.bampy import BamHeader, decode_bam
 from .io.batch import PackedBatch
 from .ops.device_ref import DeviceRef, build_device_ref
@@ -60,28 +62,17 @@ class SampleState:
     own SampleState."""
 
     counters: dict
-    junc_tally: dict = dataclasses.field(default_factory=dict)
+    junc_tally: JuncTally = dataclasses.field(default_factory=JuncTally)
     metrics: RunMetrics = dataclasses.field(default_factory=RunMetrics)
     n_refids: int = 0
 
 
-def tally_junctions(tally: dict, b: PackedBatch) -> None:
-    """Host-side sparse junction map: (chrom,start,end) -> [fwd, rev] counts.
-    Vectorized np.unique per batch; feeds IRFinder-JuncCount.txt and the
-    finalize-time junction counters (finalize.junction_counters)."""
-    n = b.n_gaps
-    if n == 0:
-        return
-    keys = np.stack(
-        [b.gap_chrom[:n], b.gap_start[:n], b.gap_end[:n], b.gap_strand[:n]], axis=1
-    )
-    keys = keys[keys[:, 0] >= 0]
-    if keys.size == 0:
-        return
-    uniq, counts = np.unique(keys, axis=0, return_counts=True)
-    for (c, s, e, strand), k in zip(uniq, counts):
-        slot = tally.setdefault((int(c), int(s), int(e)), [0, 0])
-        slot[int(strand)] += int(k)
+def tally_junctions(tally: JuncTally, b: PackedBatch) -> None:
+    """Host-side sparse junction tally: appends the batch's gap columns to the
+    array-chunk accumulator (irfinder_tpu.junctions.JuncTally) — O(1) slice
+    per batch, vectorized lexsort+reduceat compaction amortized; feeds
+    IRFinder-JuncCount.txt and finalize.junction_counters."""
+    tally.add_batch(b)
 
 
 class Engine:
@@ -124,7 +115,7 @@ class Engine:
         return self._st.counters
 
     @property
-    def junc_tally(self) -> dict:
+    def junc_tally(self) -> JuncTally:
         return self._st.junc_tally
 
     @property

@@ -272,27 +272,28 @@ def intron_rows_loop(
     return rows
 
 
-def junction_counters(ref: CompiledRef, junc_tally: dict):
+def junction_counters(ref: CompiledRef, junc_tally):
     """Host-side junction counters from the sparse per-batch tally
-    (engine._tally_junctions): strand-resolved counts of observed splice gaps
-    matching each unique intron start / end / (start,end) pair.
+    (irfinder_tpu.junctions.JuncTally; plain dicts also accepted for tests):
+    strand-resolved counts of observed splice gaps matching each unique
+    intron start / end / (start,end) pair.
 
-    The tally maps (chrom, start, end) -> [fwd_count, rev_count]; matching
-    against the compiled tables is three vectorized searchsorted passes over
-    packed int64 keys.  Returns (start_cnt, end_cnt, exact_cnt), each
-    int32 (2, table_size) — exactly what the device used to produce before
-    junction counting moved off the hot step (ops/step.py docstring).
+    Matching against the compiled tables is three vectorized searchsorted
+    passes over packed int64 keys.  Returns (start_cnt, end_cnt, exact_cnt),
+    each int32 (2, table_size) — exactly what the device used to produce
+    before junction counting moved off the hot step (ops/step.py docstring).
     """
+    from .junctions import coerce_tally
+
     S_ = int(ref.bstart_coord.size)
     E_ = int(ref.bend_coord.size)
     X_ = int(ref.upair_start.size)
     start_cnt = np.zeros((2, S_), np.int32)
     end_cnt = np.zeros((2, E_), np.int32)
     exact_cnt = np.zeros((2, X_), np.int32)
-    if not junc_tally:
+    keys, vals = coerce_tally(junc_tally).merged()  # (n,3) sorted, (n,2)
+    if len(keys) == 0:
         return start_cnt, end_cnt, exact_cnt
-    keys = np.array(sorted(junc_tally.keys()), dtype=np.int64)  # (n, 3)
-    vals = np.array([junc_tally[tuple(k)] for k in keys.tolist()], dtype=np.int64)
 
     def chrom_col(seg):
         return np.repeat(np.arange(len(seg) - 1, dtype=np.int64), np.diff(seg))

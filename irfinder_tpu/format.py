@@ -59,16 +59,21 @@ def write_ir_table(out: IO[str], rows: Iterable[S.IntronRow], header: bool = Tru
         )
 
 
-def write_junc_count(out: IO[str], chroms: Sequence[str], junc_tally: dict) -> None:
+def write_junc_count(out: IO[str], chroms: Sequence[str], junc_tally) -> None:
     """IRFinder-JuncCount.txt: every observed splice junction with
-    strand-resolved fragment counts.  junc_tally: {(chrom_id, start, end):
-    [fwd, rev]} accumulated by the engine's decode loop (sparse dynamic keys
-    stay host-side; SURVEY.md §2 row 10).  Sorted by (chrom, start, end).
+    strand-resolved fragment counts.  junc_tally: a
+    irfinder_tpu.junctions.JuncTally (or a {(chrom_id, start, end):
+    [fwd, rev]} dict — sparse dynamic keys stay host-side; SURVEY.md §2
+    row 10).  Sorted by (chrom, start, end).
     Columns [R:verify]: Chr Start End Fwd Rev Total."""
+    from .junctions import coerce_tally
+
     out.write("Chr\tStart\tEnd\tFwd\tRev\tTotal\n")
-    for (c, s, e) in sorted(junc_tally):
-        fwd, rev = junc_tally[(c, s, e)]
-        out.write(f"{chroms[c]}\t{s}\t{e}\t{fwd}\t{rev}\t{fwd + rev}\n")
+    keys, vals = coerce_tally(junc_tally).merged()  # already (c,s,e)-sorted
+    out.writelines(
+        f"{chroms[c]}\t{s}\t{e}\t{fwd}\t{rev}\t{fwd + rev}\n"
+        for (c, s, e), (fwd, rev) in zip(keys.tolist(), vals.tolist())
+    )
 
 
 def write_spans_point(out: IO[str], ref: CompiledRef, span_hits: np.ndarray) -> None:

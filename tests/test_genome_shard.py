@@ -10,6 +10,7 @@ import pytest
 from jax.sharding import Mesh
 
 from irfinder_tpu.engine import Engine, tally_junctions
+from irfinder_tpu.junctions import JuncTally
 from irfinder_tpu.finalize import junction_counters
 from irfinder_tpu.io.bampy import decode_bam
 from irfinder_tpu.parallel.genome import (
@@ -64,7 +65,7 @@ def test_genome_sharded_equals_unsharded(ref, n_shards):
     counters = place(init_stacked_counters(sdref, len(hdr.ref_names), n_shards))
     sdref = place(sdref)
     _, batches, _ = decode_bam(io.BytesIO(bam), CHROM_INDEX)
-    tally = {}
+    tally = JuncTally()
     for b in batches:
         tally_junctions(tally, b)
         counters = step(sdref, counters, b.device_arrays())
@@ -98,7 +99,7 @@ def test_dp_x_genome_composed_equals_unsharded(ref):
     counters = place_c(init_dp_genome_counters(sdref, len(hdr.ref_names), n_dp, n_g))
     sdref = place_dref(sdref)
     _, batches, _ = decode_bam(io.BytesIO(bam), CHROM_INDEX)
-    tally = {}
+    tally = JuncTally()
     for b in batches:
         tally_junctions(tally, b)
         counters = step(sdref, counters, place_b(pad_batch_to_multiple(b.device_arrays(), n_dp)))

@@ -78,7 +78,8 @@ hdr, batches, _ = decode_bam(_io.BytesIO(bam), CHROM_INDEX, cap_frags=64)
 # every process feeds the SAME global batch (columns replicated row-block per
 # dp shard half); host p supplies its half of the dp axis
 from irfinder_tpu.engine import tally_junctions
-tally = {}
+from irfinder_tpu.junctions import JuncTally
+tally = JuncTally()
 for b in batches:
     tally_junctions(tally, b)
     arrs = pad_batch_to_multiple(b.device_arrays(), n_dp)

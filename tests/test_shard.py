@@ -40,6 +40,7 @@ def test_dp8_matches_single_device(ref):
     # 8-way data-parallel; junction counting is host-side (ops/step.py), so
     # the sharded path tallies identically before device dispatch
     from irfinder_tpu.engine import tally_junctions
+    from irfinder_tpu.junctions import JuncTally
     from irfinder_tpu.finalize import junction_counters
 
     devs = np.array(jax.devices()[:8])
@@ -48,7 +49,7 @@ def test_dp8_matches_single_device(ref):
     step, place_batch, place_counters = make_sharded_step(mesh)
     counters = place_counters(stacked_counters(dref, len(hdr.ref_names), 8))
     _, batches, _ = decode_bam(io.BytesIO(bam), CHROM_INDEX)
-    tally = {}
+    tally = JuncTally()
     for b in batches:
         tally_junctions(tally, b)
         counters = step(dref, counters, place_batch(b.device_arrays()))
