@@ -1,31 +1,137 @@
-"""Benchmark: BAM-fragment counting throughput through the device step.
+"""Benchmark: END-TO-END BAM -> IR-table throughput on a realistic read mix.
 
-Primary metric (BASELINE.json:2): reads/s/chip through the intron-intersection
-kernel on a chr21-scale map.  Prints ONE JSON line.
+Headline metric (VERDICT.md round 1, next-round #1): reads/s through the FULL
+pipeline — native BAM decode -> H2D -> device counting step -> device/host
+finalize -> all output tables — on a synthetic chr21-scale BAM with a
+realistic RNA-seq composition (~30% spliced reads incl. 5% two-gap, 10%
+soft-clipped, MAPQ spectrum, 3% secondary records, 5% duplicates; see
+irfinder_tpu/io/bamgen.py).  Prints ONE JSON line.
 
 vs_baseline: ratio against the single-thread scalar C++ conformance counter
-(native/oracle) on identical batches — the stand-in for the reference's
-single-thread C++ counter (BASELINE.md; the reference snapshot publishes no
-numbers).  0.0 until the native oracle is built.
+(native/oracle) run over the identical decoded batch stream — the measured
+stand-in for the reference's single-thread C++ counter (BASELINE.md; the
+reference snapshot publishes no numbers).  The same line carries the
+device-step-only metric (the round-1 headline) as `step_reads_per_s`.
+
+Env knobs: BENCH_PAIRS (default 5M pairs ~= 10.1M records — the 10M-read
+point), BENCH_MODE=step for the old step-only bench, BENCH_CACHE for the
+generated-BAM cache dir.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
+CACHE = os.environ.get("BENCH_CACHE", os.path.expanduser("~/.cache/irfinder_bench"))
 
-def main() -> None:
+
+def _jax():
     import jax
 
     # persistent compile cache: first-compile on the tunneled TPU is slow
     # (tens of seconds); cache across bench runs
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
 
+
+def _cached_bam(ref, n_pairs: int, seed: int = 0) -> str:
+    """Generate (once) and cache the realistic-mix benchmark BAM."""
+    from irfinder_tpu.io.bamgen import write_realistic_bam
+
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"realistic_p{n_pairs}_s{seed}_v2.bam")
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        st = write_realistic_bam(path + ".tmp", ref, n_pairs=n_pairs, seed=seed)
+        os.replace(path + ".tmp", path)
+        print(
+            f"[bench] generated {st.n_records} records "
+            f"({st.n_spliced} spliced) in {time.perf_counter()-t0:.1f}s -> {path}",
+            file=sys.stderr,
+        )
+    return path
+
+
+def _oracle_reads_per_s(ref, bam: str) -> float:
+    """Single-thread scalar C++ counter over the identical decoded batch
+    stream (decode excluded — favorable to the baseline).  0.0 if unbuilt."""
+    try:
+        from irfinder_tpu.engine import open_decoder
+        from irfinder_tpu.native.oracle_native import NativeOracle
+    except Exception:
+        return 0.0
+    try:
+        _, batches, stats = open_decoder(ref, bam, use_native=True)
+        batches = list(batches)
+        o = NativeOracle(ref)
+        t0 = time.perf_counter()
+        for b in batches:
+            o.add_batch(b)
+        o.finalize()
+        dt = time.perf_counter() - t0
+        o.close()
+        return stats.reads_total / dt if dt > 0 else 0.0
+    except Exception:
+        return 0.0
+
+
+def bench_e2e() -> None:
+    _jax()
+    import shutil
+    import tempfile
+
+    from irfinder_tpu.engine import run_bam
+    from irfinder_tpu.synth import synth_ref
+
+    n_pairs = int(os.environ.get("BENCH_PAIRS", 5_000_000))
+    ref = synth_ref(n_genes=800)  # chr21-scale: ~14k unique introns
+    warm_bam = _cached_bam(ref, n_pairs=50_000, seed=3)
+    bam = _cached_bam(ref, n_pairs=n_pairs, seed=0)
+
+    tmp = tempfile.mkdtemp(prefix="irbench_")
+    try:
+        run_bam(ref, warm_bam, os.path.join(tmp, "warm"))  # compile everything
+        t0 = time.perf_counter()
+        metrics = run_bam(ref, bam, os.path.join(tmp, "out"))
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    reads_per_s = metrics.reads_total / dt
+
+    baseline = _oracle_reads_per_s(ref, warm_bam)
+    step = bench_step(ref=ref, quiet=True)
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_bam_reads_per_s",
+                "value": round(reads_per_s, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(reads_per_s / baseline, 2) if baseline else 0.0,
+                "n_reads": metrics.reads_total,
+                "wall_s": round(dt, 3),
+                "decode_s": round(metrics.decode_s, 3),
+                "device_s": round(metrics.device_s, 3),
+                "finalize_s": round(metrics.finalize_s, 3),
+                "oracle_reads_per_s": round(baseline, 1),
+                "step_reads_per_s": round(step, 1),
+                "read_mix": "30% spliced / 10% softclip / mapq+dup+secondary",
+            }
+        )
+    )
+
+
+def bench_step(ref=None, quiet: bool = False) -> float:
+    """Device counting step alone on pre-packed, pre-transferred batches
+    (the round-1 headline; BASELINE.json:2's kernel metric)."""
+    jax = _jax()
+
+    from irfinder_tpu.io.batch import device_batch
     from irfinder_tpu.ops.device_ref import build_device_ref
     from irfinder_tpu.ops.step import init_counters, make_count_step
     from irfinder_tpu.synth import synth_batch_arrays, synth_ref
@@ -34,11 +140,10 @@ def main() -> None:
     n_batches = int(os.environ.get("BENCH_BATCHES", 16))
     reps = int(os.environ.get("BENCH_REPS", 3))
 
-    ref = synth_ref(n_genes=800)  # chr21-scale: ~40k intron rows
+    if ref is None:
+        ref = synth_ref(n_genes=800)
     dref = build_device_ref(ref)
     step = make_count_step()
-
-    from irfinder_tpu.io.batch import device_batch
 
     batches = []
     total_reads = 0
@@ -56,8 +161,7 @@ def main() -> None:
         # donated counters, so one end-of-run sync bounds the whole stream.
         return np.asarray(c["cnt"][0:1])
 
-    # warmup / compile
-    counters = step(dref, counters, batches[0])
+    counters = step(dref, counters, batches[0])  # warmup / compile
     sync(counters)
 
     best = float("inf")
@@ -68,89 +172,22 @@ def main() -> None:
         sync(counters)
         best = min(best, time.perf_counter() - t0)
     reads_per_s = total_reads / best
-
-    baseline = _native_oracle_reads_per_s(ref, n_frags)
-    vs = reads_per_s / baseline if baseline else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "count_step_reads_per_s_per_chip",
-                "value": round(reads_per_s, 1),
-                "unit": "reads/s",
-                "vs_baseline": round(vs, 2),
-            }
+    if not quiet:
+        print(
+            json.dumps(
+                {
+                    "metric": "count_step_reads_per_s_per_chip",
+                    "value": round(reads_per_s, 1),
+                    "unit": "reads/s",
+                    "vs_baseline": 0.0,
+                }
+            )
         )
-    )
-
-
-def bench_e2e() -> None:
-    """BENCH_MODE=e2e: full pipeline reads/s — native decode -> H2D -> device
-    step -> finalize — on a synthetic chr21-scale ~1M-read BAM (config A
-    shape).  Prints the same one-line JSON format."""
-    import tempfile
-
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    from irfinder_tpu.engine import run_bam
-    from irfinder_tpu.io import bamwrite
-    from irfinder_tpu.synth import synth_ref
-
-    n_pairs = int(os.environ.get("BENCH_PAIRS", 500_000))
-    ref = synth_ref(n_genes=800)
-    rng = np.random.default_rng(0)
-    tmp = tempfile.mkdtemp(prefix="irbench_")
-    bam = os.path.join(tmp, "bench.bam")
-    with open(bam, "wb") as fh:
-        recs = []
-        starts = rng.integers(0, 45_000_000, n_pairs)
-        for i in range(n_pairs):
-            p1 = int(starts[i])
-            recs.extend(bamwrite.make_pair(f"r{i}", 0, p1, "100M", p1 + 250, "100M"))
-        bamwrite.write_bam(fh, ["chr21"], [46_000_000], recs)
-
-    # warm (compile) on a first pass, then measure
-    run_bam(ref, bam, os.path.join(tmp, "warm"))
-    t0 = time.perf_counter()
-    metrics = run_bam(ref, bam, os.path.join(tmp, "out"))
-    dt = time.perf_counter() - t0
-    reads_per_s = metrics.reads_total / dt
-    baseline = _native_oracle_reads_per_s(ref, 1 << 15)
-    print(
-        json.dumps(
-            {
-                "metric": "end_to_end_bam_reads_per_s",
-                "value": round(reads_per_s, 1),
-                "unit": "reads/s",
-                "vs_baseline": round(reads_per_s / baseline, 2) if baseline else 0.0,
-            }
-        )
-    )
-
-
-def _native_oracle_reads_per_s(ref, n_frags) -> float:
-    """Single-thread C++ scalar counter throughput on one identical batch
-    (the measured stand-in baseline, BASELINE.md).  0.0 if not built."""
-    try:
-        from irfinder_tpu.native import oracle_native
-    except Exception:
-        return 0.0
-    try:
-        from irfinder_tpu.synth import synth_batch_arrays
-
-        arrs, n_reads = synth_batch_arrays(ref, n_frags=n_frags, seed=99)
-        t0 = time.perf_counter()
-        oracle_native.count_batch(ref, arrs)
-        dt = time.perf_counter() - t0
-        return n_reads / dt if dt > 0 else 0.0
-    except Exception:
-        return 0.0
+    return reads_per_s
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE") == "e2e":
-        bench_e2e()
+    if os.environ.get("BENCH_MODE") == "step":
+        bench_step()
     else:
-        main()
+        bench_e2e()

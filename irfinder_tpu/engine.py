@@ -30,7 +30,7 @@ from .junctions import JuncTally
 from .io.bampy import BamHeader, decode_bam
 from .io.batch import PackedBatch
 from .ops.device_ref import DeviceRef, build_device_ref
-from .ops.step import finalize_device, init_counters, make_count_step
+from .ops.step import init_counters, make_count_step, make_finalize, make_fused_step
 from .refio.compile import CompiledRef
 
 
@@ -86,7 +86,7 @@ class Engine:
         self.cap_frags = cap_frags
         self.dref: DeviceRef = build_device_ref(ref)
         self._step = make_count_step()
-        self._finalize = jax.jit(finalize_device)
+        self._finalize = make_finalize()
         self._st: SampleState | None = None
         # device-side finalize statistics (ops/finalize_stats.py): skip the
         # O(mbs) depth pull + host flatten on real TPUs; the CPU test backend
@@ -131,8 +131,12 @@ class Engine:
     ) -> None:
         st = st or self._st
         t0 = time.perf_counter()
-        arrs = dev_arrays if dev_arrays is not None else batch.device_arrays()
-        st.counters = self._step(self.dref, st.counters, arrs)
+        if dev_arrays is not None:
+            st.counters = self._step(self.dref, st.counters, dev_arrays)
+        else:
+            step = make_fused_step(batch.cap_blocks, batch.cap_frags)
+            flat = jax.device_put(batch.fused_h2d())
+            st.counters = step(self.dref, st.counters, flat)
         st.metrics.device_s += time.perf_counter() - t0
         st.metrics.batches += 1
         self._tally_junctions(st, batch)
@@ -142,26 +146,36 @@ class Engine:
         tally_junctions(st.junc_tally, b)
 
     def run_stream(self, batches: Iterable[PackedBatch], st: SampleState | None = None) -> None:
-        """Pipelined streaming: kick off the H2D transfer of the CURRENT
-        batch, then pull the NEXT batch from the (native, multithreaded)
-        decoder while the transfer and the async-dispatched device step
-        proceed — decode, PCIe, and compute overlap without any explicit
-        double-buffer machinery (JAX dispatch is asynchronous)."""
-        import jax
+        """Pipelined streaming: a feeder thread pulls batches from the
+        decoder (the native bd_next_batch call releases the GIL, so C++
+        parse/inflate genuinely overlaps the main thread) while the main
+        thread ships the fused H2D buffer and async-dispatches the device
+        step — decode, PCIe, and compute overlap with a bounded two-batch
+        prefetch window."""
+        import queue
+        import threading
 
-        it = iter(batches)
-        try:
-            cur = next(it)
-        except StopIteration:
-            return
-        while cur is not None:
-            dev = {k: jax.device_put(v) for k, v in cur.device_arrays().items()}
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        SENTINEL = object()
+
+        def feeder():
             try:
-                nxt = next(it)
-            except StopIteration:
-                nxt = None
-            self.process_batch(cur, st, dev_arrays=dev)
-            cur = nxt
+                for b in batches:
+                    q.put(b)
+                q.put(SENTINEL)
+            except BaseException as e:  # surfaced on the consumer side
+                q.put(e)
+
+        t = threading.Thread(target=feeder, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            self.process_batch(item, st)
+        t.join()
 
     # -- finalize ------------------------------------------------------------
     def counters_host(self, st: SampleState | None = None) -> dict:

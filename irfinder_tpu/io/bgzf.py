@@ -23,10 +23,10 @@ BGZF_EOF = bytes.fromhex(
 _HDR = struct.Struct("<4BI2BH")  # magic(4) mtime xfl os xlen
 
 
-def write_block(out: BinaryIO, payload: bytes) -> None:
+def write_block(out: BinaryIO, payload: bytes, level: int = 6) -> None:
     """Write one BGZF block (payload must be <= 65535 bytes pre-compression)."""
     assert len(payload) <= 0xFFFF
-    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    comp = zlib.compressobj(level, zlib.DEFLATED, -15)
     cdata = comp.compress(payload) + comp.flush()
     # total block = header(18) + cdata + crc32(4) + isize(4); BSIZE = total - 1
     bsize = 18 + len(cdata) + 8 - 1
@@ -50,10 +50,12 @@ def write_block(out: BinaryIO, payload: bytes) -> None:
     out.write(struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF, len(payload)))
 
 
-def write_payload(out: BinaryIO, data: bytes, block_size: int = 60000) -> None:
+def write_payload(
+    out: BinaryIO, data: bytes, block_size: int = 60000, level: int = 6
+) -> None:
     """Write arbitrary data as a sequence of BGZF blocks (no EOF marker)."""
     for i in range(0, len(data), block_size):
-        write_block(out, data[i : i + block_size])
+        write_block(out, data[i : i + block_size], level=level)
     if not data:
         write_block(out, b"")
 

@@ -70,11 +70,9 @@ def load_library():
     return lib
 
 
-def _copy_col(ptr, n_used: int, cap: int, fill: int) -> np.ndarray:
-    out = np.full(cap, fill, dtype=np.int32)
+def _fill_col(dst: np.ndarray, ptr, n_used: int) -> None:
     if n_used:
-        out[:n_used] = np.ctypeslib.as_array(ptr, shape=(n_used,))
-    return out
+        dst[:n_used] = np.ctypeslib.as_array(ptr, shape=(n_used,))
 
 
 def decode_bam_native(
@@ -119,25 +117,21 @@ def decode_bam_native(
                 if rc == 0:
                     break
                 nb, ng, nf = int(view.n_blocks), int(view.n_gaps), int(view.n_frags)
-                yield PackedBatch(
-                    blk_chrom=_copy_col(view.blk_chrom, nb, view.cap_blocks, -1),
-                    blk_start=_copy_col(view.blk_start, nb, view.cap_blocks, 0),
-                    blk_end=_copy_col(view.blk_end, nb, view.cap_blocks, 0),
-                    blk_strand=_copy_col(view.blk_strand, nb, view.cap_blocks, 0),
-                    gap_chrom=_copy_col(view.gap_chrom, ng, view.cap_gaps, -1),
-                    gap_start=_copy_col(view.gap_start, ng, view.cap_gaps, 0),
-                    gap_end=_copy_col(view.gap_end, ng, view.cap_gaps, 0),
-                    gap_strand=_copy_col(view.gap_strand, ng, view.cap_gaps, 0),
-                    frag_chrom=_copy_col(view.frag_chrom, nf, view.cap_frags, -1),
-                    frag_refid=_copy_col(view.frag_refid, nf, view.cap_frags, -1),
-                    frag_start=_copy_col(view.frag_start, nf, view.cap_frags, 0),
-                    frag_end=_copy_col(view.frag_end, nf, view.cap_frags, 0),
-                    frag_strand=_copy_col(view.frag_strand, nf, view.cap_frags, 0),
-                    n_blocks=nb,
-                    n_gaps=ng,
-                    n_frags=nf,
-                    n_reads=int(view.n_reads),
+                pb = PackedBatch.empty(
+                    int(view.cap_blocks), int(view.cap_gaps), int(view.cap_frags)
                 )
+                for nm, n in (
+                    ("blk_chrom", nb), ("blk_start", nb),
+                    ("blk_end", nb), ("blk_strand", nb),
+                    ("gap_chrom", ng), ("gap_start", ng),
+                    ("gap_end", ng), ("gap_strand", ng),
+                    ("frag_chrom", nf), ("frag_refid", nf),
+                    ("frag_start", nf), ("frag_end", nf), ("frag_strand", nf),
+                ):
+                    _fill_col(getattr(pb, nm), getattr(view, nm), n)
+                pb.n_blocks, pb.n_gaps, pb.n_frags = nb, ng, nf
+                pb.n_reads = int(view.n_reads)
+                yield pb
         finally:
             st = (ctypes.c_int64 * 6)()
             lib.bd_stats(h, st)

@@ -213,9 +213,42 @@ def count_step(dref: DeviceRef, counters: dict, batch: dict) -> dict:
     return {"cnt": cnt, "chr": chrn}
 
 
+_JIT_CACHE: dict = {}
+
+
 def make_count_step():
-    """Jitted step with in-place counter donation."""
-    return jax.jit(count_step, donate_argnums=(1,))
+    """Jitted step with in-place counter donation.  Process-global: every
+    Engine shares ONE jit instance, so a second engine in the same process
+    (bench warm/main runs, batch mode) never re-traces or re-compiles."""
+    step = _JIT_CACHE.get("step")
+    if step is None:
+        step = _JIT_CACHE["step"] = jax.jit(count_step, donate_argnums=(1,))
+    return step
+
+
+def make_fused_step(cap_blocks: int, cap_frags: int):
+    """Jitted step taking ONE fused int32 H2D buffer (io/batch.py fused_h2d /
+    unpack_fused): a single device_put per batch instead of nine.  Also
+    process-global per capacity signature."""
+    key = ("fused", cap_blocks, cap_frags)
+    step = _JIT_CACHE.get(key)
+    if step is None:
+        from ..io.batch import unpack_fused
+
+        def fstep(dref, counters, flat):
+            return count_step(
+                dref, counters, unpack_fused(flat, cap_blocks, cap_frags)
+            )
+
+        step = _JIT_CACHE[key] = jax.jit(fstep, donate_argnums=(1,))
+    return step
+
+
+def make_finalize():
+    fin = _JIT_CACHE.get("finalize")
+    if fin is None:
+        fin = _JIT_CACHE["finalize"] = jax.jit(finalize_device)
+    return fin
 
 
 def finalize_device(dref: DeviceRef, counters: dict) -> dict:
