@@ -67,16 +67,21 @@ def _oracle_reads_per_s(ref, bam: str) -> float:
     except Exception:
         return 0.0
     try:
-        _, batches, stats = open_decoder(ref, bam, use_native=True)
-        batches = list(batches)
-        o = NativeOracle(ref)
-        t0 = time.perf_counter()
-        for b in batches:
-            o.add_batch(b)
-        o.finalize()
-        dt = time.perf_counter() - t0
-        o.close()
-        return stats.reads_total / dt if dt > 0 else 0.0
+        import itertools
+
+        _, batches, _ = open_decoder(ref, bam, use_native=True)
+        batches = list(itertools.islice(batches, 64))  # ~4M reads: stable
+        n_reads = sum(b.n_reads for b in batches)
+        best = float("inf")
+        for _ in range(2):
+            o = NativeOracle(ref)
+            t0 = time.perf_counter()
+            for b in batches:
+                o.add_batch(b)
+            o.finalize()
+            best = min(best, time.perf_counter() - t0)
+            o.close()
+        return n_reads / best if best > 0 else 0.0
     except Exception:
         return 0.0
 
@@ -95,11 +100,14 @@ def bench_e2e() -> None:
     bam = _cached_bam(ref, n_pairs=n_pairs, seed=0)
 
     tmp = tempfile.mkdtemp(prefix="irbench_")
+    reps = int(os.environ.get("BENCH_REPS", 2))
     try:
         run_bam(ref, warm_bam, os.path.join(tmp, "warm"))  # compile everything
-        t0 = time.perf_counter()
-        metrics = run_bam(ref, bam, os.path.join(tmp, "out"))
-        dt = time.perf_counter() - t0
+        dt = float("inf")
+        for r in range(reps):  # best-of: the tunneled link's latency wanders
+            t0 = time.perf_counter()
+            metrics = run_bam(ref, bam, os.path.join(tmp, f"out{r}"))
+            dt = min(dt, time.perf_counter() - t0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     reads_per_s = metrics.reads_total / dt

@@ -6,14 +6,17 @@ counter vector (O(#introns + MBS)) plus the host-side sparse junction tally —
 so a snapshot every N batches makes 50M-read runs (BASELINE config C) cheaply
 recoverable.
 
-Resume strategy: the decoder stream is deterministic for a given BAM and
-capacity, so the snapshot records `batches_done` and resume simply re-decodes
-and skips that many batches (host-side skip only; no device work).  This
-works identically for the native C++ and the Python decoder, costs no decoder
-API surface, and keeps bit-identical results (the counters are restored
-exactly; skipped batches contribute nothing twice).
+Resume strategy: the snapshot records the decoder's RESUME TOKEN (logical
+BGZF-stream offset + mate-pairing carry state, io/bampy.py format, shared
+bit-for-bit by the native and Python decoders).  Resume re-opens the BAM with
+the token: the decoder seeks to the offset by per-block header arithmetic
+(no inflation of the skipped prefix), so resume cost is independent of
+position in the BAM.  Snapshots from before the token existed still resume
+via the legacy re-decode-and-skip path (engine.run_bam).
 
-Snapshots are written atomically (tmp + rename) as one .npz.
+Snapshots are written atomically (tmp + rename) as one UNCOMPRESSED .npz:
+whole-genome counters are ~2.4 GB and savez_compressed stalls the stream for
+tens of seconds per snapshot; raw writes are disk-bandwidth-bound.
 """
 
 from __future__ import annotations
@@ -24,19 +27,22 @@ import numpy as np
 
 
 def save_checkpoint(path: str, st, engine=None) -> None:
-    """Snapshot a SampleState: counters (D2H), junction tally, progress."""
+    """Snapshot a SampleState: counters (D2H), junction tally, progress,
+    decoder resume token."""
     from .junctions import coerce_tally
 
     keys, vals = coerce_tally(st.junc_tally).merged()  # (n,3)/(n,2) int64
     tmp = path + ".tmp"
-    np.savez_compressed(
-        tmp if tmp.endswith(".npz") else tmp,
+    token = np.frombuffer(st.resume_token, dtype=np.uint8) if st.resume_token else np.zeros(0, np.uint8)
+    np.savez(
+        tmp,
         cnt=np.asarray(st.counters["cnt"]),
         chrn=np.asarray(st.counters["chr"]),
         junc_keys=keys,
         junc_vals=vals,
         batches_done=np.int64(st.metrics.batches),
         n_refids=np.int64(st.n_refids),
+        resume_token=token,
     )
     # np.savez appends .npz when missing
     actual_tmp = tmp if os.path.exists(tmp) else tmp + ".npz"
@@ -44,8 +50,8 @@ def save_checkpoint(path: str, st, engine=None) -> None:
 
 
 def load_checkpoint(path: str):
-    """Returns ((cnt, chr) ndarrays, JuncTally, batches_done, n_refids) or
-    None when no checkpoint exists."""
+    """Returns ((cnt, chr) ndarrays, JuncTally, batches_done, n_refids,
+    resume_token-or-None) or None when no checkpoint exists."""
     from .junctions import JuncTally
 
     if not os.path.exists(path):
@@ -61,14 +67,22 @@ def load_checkpoint(path: str):
         chrn = z["chrn"]
         tally = JuncTally()
         tally.add_rows(z["junc_keys"], z["junc_vals"])
-        return (cnt, chrn), tally, int(z["batches_done"]), int(z["n_refids"])
+        token = bytes(z["resume_token"].tobytes()) if "resume_token" in z else b""
+        return (
+            (cnt, chrn),
+            tally,
+            int(z["batches_done"]),
+            int(z["n_refids"]),
+            token or None,
+        )
 
 
 def restore_state(engine, ckpt) -> "SampleState":
     """Build a SampleState out of a loaded checkpoint tuple."""
     import jax.numpy as jnp
 
-    (cnt, chrn), tally, batches_done, n_refids = ckpt
+    (cnt, chrn), tally, batches_done, n_refids = ckpt[:4]
+    token = ckpt[4] if len(ckpt) > 4 else None
     st = engine.new_state(n_refids=n_refids)
     if (
         st.counters["cnt"].shape != cnt.shape
@@ -81,4 +95,5 @@ def restore_state(engine, ckpt) -> "SampleState":
     st.counters = {"cnt": jnp.asarray(cnt), "chr": jnp.asarray(chrn)}
     st.junc_tally = tally
     st.metrics.batches = batches_done
+    st.resume_token = token
     return st

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -61,6 +62,9 @@ def cmd_buildref(args) -> int:
 
 
 def cmd_bam(args) -> int:
+    import os
+    import shutil
+
     from .engine import run_bam
     from .refio.compile import CompiledRef
 
@@ -68,7 +72,22 @@ def cmd_bam(args) -> int:
 
     ref = CompiledRef.load(args.ref)
     cfg = RunConfig.from_args(args)
-    run = lambda: run_bam(ref, args.bam, args.out, config=cfg)
+
+    def run():
+        m = run_bam(ref, args.bam, args.out, config=cfg)
+        if getattr(args, "keep_bam", False):
+            # Unsorted.bam pass-through (SURVEY.md §1.2 artifact list): BAM
+            # mode's input already IS the unsorted stream; link or copy it
+            # next to the tables
+            dst = os.path.join(args.out, "Unsorted.bam")
+            if os.path.abspath(args.bam) != os.path.abspath(dst):
+                try:
+                    if os.path.exists(dst):
+                        os.remove(dst)
+                    os.link(args.bam, dst)
+                except OSError:
+                    shutil.copyfile(args.bam, dst)
+        return m
     if args.profile:
         # SURVEY.md §5.1: device+host trace around the whole counting loop;
         # per-stage wall times (decode/device/finalize) land in metrics.json
@@ -111,7 +130,30 @@ def cmd_mapability(args) -> int:
     return 0
 
 
-def cmd_buildref_download(_args) -> int:
+class _TeeReader:
+    """Read-through wrapper that copies every chunk to a sink file (FastQ
+    --stream --keep-bam: spool Unsorted.bam while counting off the pipe)."""
+
+    def __init__(self, src, sink):
+        self._src = src
+        self._sink = sink
+
+    def read(self, n: int = -1) -> bytes:
+        data = self._src.read(n)
+        if data:
+            self._sink.write(data)
+        return data
+
+    def close_sink(self) -> None:
+        self._sink.close()
+
+
+def cmd_buildref_download(args) -> int:
+    """No network egress in-process; with --manifest, VALIDATE pre-fetched
+    inputs instead (gzip integrity, GTF/FASTA/BED shape) so the mode is more
+    than a printout."""
+    if getattr(args, "manifest", None):
+        return _validate_manifest(args.manifest)
     sys.stderr.write(
         "BuildRefDownload: this environment has no network egress; fetch the\n"
         "inputs yourself and run BuildRef:\n"
@@ -120,8 +162,74 @@ def cmd_buildref_download(_args) -> int:
         "     (Mapability generate/collect around your aligner)\n"
         "  3. python -m irfinder_tpu.cli BuildRef -g ann.gtf -r REF \\\n"
         "        [--roi roi.bed] [--exclude exclude.bed]\n"
+        "Validate pre-fetched inputs with:  BuildRefDownload --manifest m.json\n"
+        '  manifest JSON: {"gtf": "path", "fasta": "path", "roi": "path",\n'
+        '                  "exclude": "path"}  (gtf required, rest optional)\n'
     )
     return 2
+
+
+def _validate_manifest(path: str) -> int:
+    """Check each manifest input exists and parses (first records)."""
+    import gzip
+    import json as _json
+
+    with open(path) as fh:
+        man = _json.load(fh)
+    problems = []
+
+    def opener(p):
+        return gzip.open(p, "rt") if p.endswith(".gz") else open(p)
+
+    if "gtf" not in man:
+        problems.append("manifest: required key 'gtf' missing")
+    for key in ("gtf", "fasta", "roi", "exclude"):
+        p = man.get(key)
+        if p is None:
+            continue
+        if not os.path.exists(p):
+            problems.append(f"{key}: {p} does not exist")
+            continue
+        try:
+            with opener(p) as fh:
+                if key == "gtf":
+                    from .refio.gtf import iter_exons
+
+                    n = sum(1 for _ in zip(range(50), iter_exons(p)))
+                    if n == 0:
+                        problems.append(f"gtf: {p} yields no exon records")
+                elif key == "fasta":
+                    first = fh.readline()
+                    if not first.startswith(">"):
+                        problems.append(f"fasta: {p} does not start with '>'")
+                else:  # BED
+                    rows = _parse_bed(p)
+                    if not rows:
+                        problems.append(f"{key}: {p} has no BED rows")
+        except Exception as e:
+            problems.append(f"{key}: {p} unreadable/corrupt ({e})")
+    for msg in problems:
+        sys.stderr.write(f"BuildRefDownload: INVALID — {msg}\n")
+    if not problems:
+        print(f"BuildRefDownload: manifest {path} validated OK")
+    return 1 if problems else 0
+
+
+def cmd_export_glm(args) -> int:
+    """DESeq2 GLM export (SURVEY.md §2 row 20): write the introns x
+    (2*samples) intronic/spliced count matrix + coldata consumed by
+    DESeqDataSetFromMatrix (docs/GLM_DIFFERENTIAL.md)."""
+    from .glm import export_glm
+
+    conditions = args.conditions.split(",") if args.conditions else None
+    counts, coldata = export_glm(
+        args.samples,
+        args.out,
+        conditions=conditions,
+        mode="dir" if args.dir else "nondir",
+    )
+    print(f"ExportGLM: {counts} + {coldata}")
+    return 0
 
 
 def cmd_batch(args) -> int:
@@ -214,9 +322,19 @@ def cmd_fastq(args) -> int:
     try:
         if args.stream:
             # count straight off the pipe (pure-Python decoder: the native
-            # decoder mmaps and cannot read a FIFO) — overlaps counting with
-            # alignment at the cost of decode speed
-            metrics = run_bam(ref, aligner.stdout, args.out)
+            # decoder mmaps and cannot read a FIFO) — the streaming decoder
+            # overlaps counting with alignment, memory stays O(one block)
+            src = aligner.stdout
+            if args.keep_bam:
+                os.makedirs(args.out, exist_ok=True)
+                src = _TeeReader(
+                    aligner.stdout, open(os.path.join(args.out, "Unsorted.bam"), "wb")
+                )
+            try:
+                metrics = run_bam(ref, src, args.out)
+            finally:
+                if args.keep_bam:
+                    src.close_sink()
         else:
             # spool the aligner BAM, then count it with the multithreaded
             # native decoder (9.4M reads/s single-thread; the aligner is the
@@ -281,6 +399,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="native decoder worker threads",
     )
     c.add_argument("--no-native", action="store_true", help="force the Python decoder")
+    c.add_argument(
+        "--keep-bam", dest="keep_bam", action="store_true",
+        help="also emit the input stream as <out>/Unsorted.bam (pass-through)",
+    )
     c.set_defaults(fn=cmd_bam)
 
     m = sub.add_parser("Mapability", help="mappability exclusion generation")
@@ -292,8 +414,30 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--stride", type=int, default=None)
     m.set_defaults(fn=cmd_mapability)
 
-    dl = sub.add_parser("BuildRefDownload", help="(no egress) documented inputs")
+    dl = sub.add_parser(
+        "BuildRefDownload", help="(no egress) document / validate inputs"
+    )
+    dl.add_argument(
+        "--manifest",
+        help="JSON manifest of pre-fetched inputs to validate "
+        '({"gtf": ..., "fasta": ..., "roi": ..., "exclude": ...})',
+    )
     dl.set_defaults(fn=cmd_buildref_download)
+
+    x = sub.add_parser(
+        "ExportGLM", help="export DESeq2 GLM count matrix + coldata"
+    )
+    x.add_argument("-d", "--out", required=True, help="output directory")
+    x.add_argument("samples", nargs="+", help="sample result dirs (from BAM/Batch)")
+    x.add_argument(
+        "--conditions",
+        help="comma-separated condition labels, one per sample (default all A)",
+    )
+    x.add_argument(
+        "--dir", action="store_true",
+        help="export from the directional tables instead of nondir",
+    )
+    x.set_defaults(fn=cmd_export_glm)
 
     # reference mode-name parity: BuildRefProcess is the processing half of
     # the reference's BuildRef (we have no download half in-process), and

@@ -65,6 +65,9 @@ class SampleState:
     junc_tally: JuncTally = dataclasses.field(default_factory=JuncTally)
     metrics: RunMetrics = dataclasses.field(default_factory=RunMetrics)
     n_refids: int = 0
+    #: decoder token of the last processed batch (io/bampy.py resume-token
+    #: format) — snapshotting it makes resume a seek, not a re-decode
+    resume_token: bytes | None = None
 
 
 def tally_junctions(tally: JuncTally, b: PackedBatch) -> None:
@@ -128,6 +131,7 @@ class Engine:
         batch: PackedBatch,
         st: SampleState | None = None,
         dev_arrays: dict | None = None,
+        fused_dev=None,
     ) -> None:
         st = st or self._st
         t0 = time.perf_counter()
@@ -135,10 +139,12 @@ class Engine:
             st.counters = self._step(self.dref, st.counters, dev_arrays)
         else:
             step = make_fused_step(batch.cap_blocks, batch.cap_frags)
-            flat = jax.device_put(batch.fused_h2d())
+            flat = fused_dev if fused_dev is not None else jax.device_put(batch.fused_h2d())
             st.counters = step(self.dref, st.counters, flat)
         st.metrics.device_s += time.perf_counter() - t0
         st.metrics.batches += 1
+        if batch.resume_token is not None:
+            st.resume_token = batch.resume_token
         self._tally_junctions(st, batch)
 
     @staticmethod
@@ -148,10 +154,11 @@ class Engine:
     def run_stream(self, batches: Iterable[PackedBatch], st: SampleState | None = None) -> None:
         """Pipelined streaming: a feeder thread pulls batches from the
         decoder (the native bd_next_batch call releases the GIL, so C++
-        parse/inflate genuinely overlaps the main thread) while the main
-        thread ships the fused H2D buffer and async-dispatches the device
-        step — decode, PCIe, and compute overlap with a bounded two-batch
-        prefetch window."""
+        parse/inflate genuinely overlaps the main thread) AND ships each
+        fused H2D buffer (device_put blocks for ~bytes/bandwidth on the
+        tunneled link — doing it on the feeder overlaps the transfer with
+        the main thread's step dispatch and junction tally), with a bounded
+        two-batch prefetch window."""
         import queue
         import threading
 
@@ -161,7 +168,7 @@ class Engine:
         def feeder():
             try:
                 for b in batches:
-                    q.put(b)
+                    q.put((b, jax.device_put(b.fused_h2d())))
                 q.put(SENTINEL)
             except BaseException as e:  # surfaced on the consumer side
                 q.put(e)
@@ -174,7 +181,8 @@ class Engine:
                 break
             if isinstance(item, BaseException):
                 raise item
-            self.process_batch(item, st)
+            b, flat = item
+            self.process_batch(b, st, fused_dev=flat)
         t.join()
 
     # -- finalize ------------------------------------------------------------
@@ -313,11 +321,12 @@ def open_decoder(
     cap_frags: int = 1 << 15,
     use_native: bool = True,
     n_threads: int = 4,
+    resume_token: bytes | None = None,
 ):
     """Pick the decoder: the multithreaded native C++ decoder for file paths
     (SURVEY.md §2 row 7), the pure-Python decoder for file objects or when the
     native toolchain is unavailable.  Both emit identical batch streams
-    (tests/test_bamdecode.py)."""
+    (tests/test_bamdecode.py) and accept each other's resume tokens."""
     chrom_index = {c: i for i, c in enumerate(ref.chroms)}
     if isinstance(bam, (str, os.PathLike)):
         if use_native:
@@ -325,12 +334,13 @@ def open_decoder(
                 from .native.bamdecode import decode_bam_native
 
                 return decode_bam_native(
-                    str(bam), chrom_index, cap_frags=cap_frags, n_threads=n_threads
+                    str(bam), chrom_index, cap_frags=cap_frags,
+                    n_threads=n_threads, resume_token=resume_token,
                 )
             except (RuntimeError, OSError, AssertionError):
                 pass  # no toolchain / build failure: fall through to Python
         bam = open(bam, "rb")
-    return decode_bam(bam, chrom_index, cap_frags=cap_frags)
+    return decode_bam(bam, chrom_index, cap_frags=cap_frags, resume_token=resume_token)
 
 
 def run_bam(
@@ -364,15 +374,21 @@ def run_bam(
         n_threads = config.decoder_threads
     engine = Engine(ref, cap_frags=cap_frags)
     t0 = time.perf_counter()
-    header, batches, stats = open_decoder(ref, bam, cap_frags, use_native, n_threads)
-    skip = 0
     if checkpoint:
         from .checkpoint import load_checkpoint, restore_state, save_checkpoint
 
         ck = load_checkpoint(checkpoint)
+        token = ck[4] if ck is not None else None
+        skip = 0
+        header, batches, stats = open_decoder(
+            ref, bam, cap_frags, use_native, n_threads, resume_token=token
+        )
         if ck is not None:
             engine._st = restore_state(engine, ck)
-            skip = engine._st.metrics.batches
+            if token is None:
+                # legacy snapshot without a decoder token: re-decode and
+                # skip already-counted batches (linear, but still correct)
+                skip = engine._st.metrics.batches
         else:
             engine.reset(n_refids=len(header.ref_names))
         done = 0
@@ -385,6 +401,7 @@ def run_bam(
             if (done - skip) % checkpoint_every == 0:
                 save_checkpoint(checkpoint, engine._st)
     else:
+        header, batches, stats = open_decoder(ref, bam, cap_frags, use_native, n_threads)
         engine.reset(n_refids=len(header.ref_names))
         engine.run_stream(batches)
     engine.metrics.decode_s = time.perf_counter() - t0 - engine.metrics.device_s

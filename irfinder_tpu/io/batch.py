@@ -61,6 +61,11 @@ class PackedBatch:
     # of nine (each put through the tunneled PJRT link costs ~0.2-0.5 ms of
     # latency; 9 puts were ~3x the cost of one fused transfer, measured)
     _fused: np.ndarray | None = None
+    # opaque decoder-state token (shared format between the native and Python
+    # decoders, see io/bampy.py): re-opening the BAM with this token
+    # reproduces the stream AFTER this batch — the checkpoint/resume seek
+    # primitive (SURVEY.md §5.4)
+    resume_token: bytes | None = None
 
     @staticmethod
     def empty(cap_blocks: int, cap_gaps: int, cap_frags: int) -> "PackedBatch":

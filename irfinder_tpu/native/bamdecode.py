@@ -45,8 +45,14 @@ def load_library():
         return _lib
     path = ensure_built("bamdecode", "libbamdecode.so")
     lib = ctypes.CDLL(path)
-    lib.bd_open.restype = ctypes.c_void_p
-    lib.bd_open.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int]
+    lib.bd_open_ex.restype = ctypes.c_void_p
+    lib.bd_open_ex.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.bd_token.restype = ctypes.c_int64
+    lib.bd_token.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
     lib.bd_error.restype = ctypes.c_char_p
     lib.bd_error.argtypes = [ctypes.c_void_p]
     lib.bd_n_refs.argtypes = [ctypes.c_void_p]
@@ -58,14 +64,9 @@ def load_library():
     lib.bd_stats.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
     lib.bd_semantics.argtypes = [ctypes.POINTER(ctypes.c_int32)]
     lib.bd_close.argtypes = [ctypes.c_void_p]
-    # drift check: the binary's baked-in admission constants must match
-    # irfinder_tpu.semantics (single source of truth)
-    sem = (ctypes.c_int32 * 3)()
-    lib.bd_semantics(sem)
-    assert sem[0] == S.FLAG_DROP_MASK and sem[1] == S.MIN_MAPQ and sem[2] == S.MIN_GAP_AS_JUNCTION, (
-        "native decoder semantics drift: rebuild native/bamdecode against "
-        "irfinder_tpu/semantics.py"
-    )
+    # The admission constants are INJECTED per-handle via bd_open_ex (so an
+    # IRTPU_SEMANTICS override never needs a rebuild); bd_semantics only
+    # reports the binary's compiled-in defaults.
     _lib = lib
     return lib
 
@@ -80,15 +81,24 @@ def decode_bam_native(
     chrom_index: dict,
     cap_frags: int = 1 << 15,
     n_threads: int | None = None,
+    resume_token: bytes | None = None,
 ):
     """Native analog of io.bampy.decode_bam, file-path based.
 
     Returns (header, batch_iterator, stats); stats totals are filled as the
-    iterator is consumed."""
+    iterator is consumed.  Each yielded PackedBatch carries a
+    `resume_token` (shared binary format with the Python decoder) that
+    reproduces the remaining stream via `resume_token=`: the decoder seeks
+    to the recorded logical offset by BGZF block arithmetic — resume cost is
+    independent of position in the BAM (SURVEY.md §5.4)."""
     lib = load_library()
     if n_threads is None:
         n_threads = min(8, os.cpu_count() or 4)
-    h = lib.bd_open(path.encode(), cap_frags, n_threads)
+    h = lib.bd_open_ex(
+        path.encode(), cap_frags, n_threads,
+        S.FLAG_DROP_MASK, S.MIN_MAPQ, S.MIN_GAP_AS_JUNCTION,
+        resume_token, len(resume_token) if resume_token else 0,
+    )
     err = lib.bd_error(h)
     if err:
         msg = err.decode()
@@ -131,6 +141,10 @@ def decode_bam_native(
                     _fill_col(getattr(pb, nm), getattr(view, nm), n)
                 pb.n_blocks, pb.n_gaps, pb.n_frags = nb, ng, nf
                 pb.n_reads = int(view.n_reads)
+                need = lib.bd_token(h, None, 0)
+                tbuf = ctypes.create_string_buffer(need)
+                lib.bd_token(h, tbuf, need)
+                pb.resume_token = tbuf.raw[:need]
                 yield pb
         finally:
             st = (ctypes.c_int64 * 6)()
@@ -140,6 +154,7 @@ def decode_bam_native(
             stats.fragments = int(st[2])
             stats.pairs = int(st[3])
             stats.singles = int(st[4])
+            stats.blocks_inflated = int(st[5])
             lib.bd_close(h)
 
     return header, gen(), stats

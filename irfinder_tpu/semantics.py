@@ -280,3 +280,63 @@ class IntronRow:
 # read length / stride; commonly 70nt / 10nt in the historical BuildRef].
 MAPGEN_READ_LEN = 70  # [R:verify]
 MAPGEN_STRIDE = 10  # [R:verify]
+
+# ---------------------------------------------------------------------------
+# Runtime overrides (SURVEY.md §0 verification protocol)
+# ---------------------------------------------------------------------------
+# Every [R:verify] constant above can be overridden WITHOUT editing code or
+# rebuilding the native decoder: set IRTPU_SEMANTICS to a JSON object (inline
+# or a file path), e.g.  IRTPU_SEMANTICS='{"MIN_MAPQ": 255}'.  Golden pinning
+# then becomes a config edit + rerun.  The native decoder receives the live
+# values per-handle through bd_open_ex (native/bamdecode.py), so both
+# decoders always share the module's effective semantics.
+
+#: names that may be overridden via IRTPU_SEMANTICS
+OVERRIDABLE = (
+    "FLAG_DROP_MASK",
+    "MIN_MAPQ",
+    "MIN_GAP_AS_JUNCTION",
+    "EXON_EXCLUSION_BUFFER",
+    "INTRON_EDGE_TRIM",
+    "ANTI_NEAR_DIST",
+    "SPANS_OVERHANG",
+    "WARN_LOW_COVER_DEPTH",
+    "WARN_LOW_SPLICING_COUNT",
+    "WARN_MINOR_ISOFORM_MULT",
+    "WARN_NONUNIFORM_IQR_VS_MEAN",
+    "EDGE_DEPTH_WINDOW",
+    "DIR_CONCORDANCE_THRESHOLD",
+    "DIR_MIN_INFORMATIVE",
+    "MAPGEN_READ_LEN",
+    "MAPGEN_STRIDE",
+)
+
+
+def _apply_overrides() -> dict:
+    """Parse IRTPU_SEMANTICS (inline JSON or a JSON file path) and override
+    the whitelisted module constants.  Returns the applied mapping."""
+    import json
+    import os
+
+    spec = os.environ.get("IRTPU_SEMANTICS")
+    if not spec:
+        return {}
+    spec = spec.strip()
+    if not spec.startswith("{"):
+        with open(spec) as fh:
+            spec = fh.read()
+    overrides = json.loads(spec)
+    applied = {}
+    for k, v in overrides.items():
+        if k not in OVERRIDABLE:
+            raise ValueError(
+                f"IRTPU_SEMANTICS: unknown/non-overridable constant {k!r} "
+                f"(allowed: {', '.join(OVERRIDABLE)})"
+            )
+        default = globals()[k]
+        globals()[k] = type(default)(v)
+        applied[k] = globals()[k]
+    return applied
+
+
+SEMANTICS_OVERRIDES = _apply_overrides()

@@ -38,8 +38,9 @@
 
 namespace {
 
-// ---- counting semantics (must mirror irfinder_tpu/semantics.py; the Python
-// side asserts these via bd_semantics()) ------------------------------------
+// ---- counting semantics DEFAULTS (mirror irfinder_tpu/semantics.py's
+// defaults; the runtime values are INJECTED per-handle via bd_open_ex so a
+// semantics override — golden pinning, env hook — never needs a rebuild) ----
 constexpr int32_t kFlagDropMask = 0x4 | 0x100 | 0x800;
 constexpr int32_t kMinMapq = 5;
 constexpr int32_t kMinGapAsJunction = 0;
@@ -117,7 +118,12 @@ class Decoder {
  public:
   std::string error;
 
-  bool open(const char* path, int64_t cap_frags, int n_threads) {
+  bool open(const char* path, int64_t cap_frags, int n_threads,
+            int32_t drop_mask, int32_t min_mapq, int32_t min_gap,
+            const uint8_t* token, int64_t token_len) {
+    drop_mask_ = drop_mask;
+    min_mapq_ = min_mapq;
+    min_gap_ = min_gap;
     fd_ = ::open(path, O_RDONLY);
     if (fd_ < 0) return fail("cannot open file");
     struct stat st;
@@ -128,15 +134,27 @@ class Decoder {
     if (map_ == MAP_FAILED) return fail("mmap failed");
     if (!scan_blocks()) return false;
     for (auto& s : slots_) s.data.resize(1 << 16);
+    cur_.init(cap_frags);
+    // header parse runs in synchronous mode (ensure() inflates inline while
+    // workers_ is empty) so a resume can reposition the pipeline BEFORE any
+    // worker starts racing ahead of the target block
+    if (!parse_header()) return false;
+    if (token && token_len > 0) {
+      if (!restore_token(token, token_len)) return false;
+    }
     n_threads = std::max(1, n_threads);
-    next_block_.store(0);
+    next_block_.store(next_consume_);
+    consumed_.store(next_consume_);
     stop_.store(false);
     for (int i = 0; i < n_threads; i++)
       workers_.emplace_back([this] { worker(); });
-    cur_.init(cap_frags);
-    if (!parse_header()) return false;
     return true;
   }
+
+  // Logical (inflated-stream) offset of the parse cursor.
+  int64_t tell() const { return appended_ - (int64_t)(buf_.size() - pos_); }
+
+  std::vector<uint8_t> token() const { return make_token(); }
 
   ~Decoder() {
     stop_.store(true);
@@ -296,6 +314,8 @@ class Decoder {
 
   // ---- rolling logical byte stream ---------------------------------------
   // ensure(n): at least n bytes available at buf_[pos_..]; false at EOF.
+  // While workers_ is empty (header parse / resume repositioning) blocks are
+  // inflated inline; afterwards they come from the worker slot ring.
   bool ensure(size_t n) {
     while (buf_.size() - pos_ < n) {
       if (next_consume_ >= (int64_t)blocks_.size()) return false;
@@ -307,15 +327,152 @@ class Decoder {
         pos_ = 0;
       }
       uint32_t len;
-      const uint8_t* p = block_payload(next_consume_, &len);
+      const uint8_t* p;
+      if (workers_.empty()) {
+        p = inflate_sync(next_consume_, &len);
+      } else {
+        p = block_payload(next_consume_, &len);
+      }
       if (!p) {
         error = "corrupt BGZF block";
         io_error_ = true;
         return false;
       }
       buf_.insert(buf_.end(), p, p + len);
+      appended_ += len;
       stats_.blocks_inflated++;
       consumed_.store(++next_consume_, std::memory_order_release);
+    }
+    return true;
+  }
+
+  // Synchronous single-block inflate (header parse / resume, pre-workers).
+  const uint8_t* inflate_sync(int64_t i, uint32_t* len) {
+    const BlockDesc& b = blocks_[i];
+    sync_buf_.resize(1 << 16);
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    inflateInit2(&zs, -15);
+    zs.next_in = const_cast<uint8_t*>(map_ + b.offset + b.data_off);
+    zs.avail_in = b.csize;
+    zs.next_out = sync_buf_.data();
+    zs.avail_out = (uInt)sync_buf_.size();
+    int rc = inflate(&zs, Z_FINISH);
+    bool ok = (rc == Z_STREAM_END && zs.total_out == b.isize);
+    inflateEnd(&zs);
+    if (!ok) return nullptr;
+    *len = b.isize;
+    return sync_buf_.data();
+  }
+
+  // ---- resume token: (logical offset, pairing/carry state, stats) ---------
+  // Format (little-endian): magic 'IRT1' u32 | tell u64 | stats i64[5] |
+  // has_pending u8 | n_carry u8 | ParsedRead*  where ParsedRead =
+  // name_len u32 | name | ref_id i32 | strand i32 | nb u32 | (s,e) i32 pairs
+  // | ng u32 | (s,e) i32 pairs.  Shared byte-for-byte with the Python
+  // decoder (io/bampy.py), so checkpoints are decoder-portable.
+  static void put_read(std::vector<uint8_t>& out, const ParsedRead& r) {
+    auto put = [&out](const void* p, size_t n) {
+      const uint8_t* b = (const uint8_t*)p;
+      out.insert(out.end(), b, b + n);
+    };
+    uint32_t nl = (uint32_t)r.name.size();
+    put(&nl, 4);
+    put(r.name.data(), nl);
+    put(&r.ref_id, 4);
+    put(&r.strand, 4);
+    uint32_t nb = (uint32_t)r.blocks.size(), ng = (uint32_t)r.gaps.size();
+    put(&nb, 4);
+    for (auto& p2 : r.blocks) { put(&p2.first, 4); put(&p2.second, 4); }
+    put(&ng, 4);
+    for (auto& p2 : r.gaps) { put(&p2.first, 4); put(&p2.second, 4); }
+  }
+
+  std::vector<uint8_t> make_token() const {
+    std::vector<uint8_t> out;
+    auto put = [&out](const void* p, size_t n) {
+      const uint8_t* b = (const uint8_t*)p;
+      out.insert(out.end(), b, b + n);
+    };
+    uint32_t magic = 0x31545249;  // 'IRT1'
+    put(&magic, 4);
+    int64_t t = tell();
+    put(&t, 8);
+    int64_t st[5] = {stats_.reads_total, stats_.reads_admitted,
+                     stats_.fragments, stats_.pairs, stats_.singles};
+    put(st, 40);
+    uint8_t hp = pending_valid_ ? 1 : 0;
+    uint8_t nc = have_pending_flush_ ? (uint8_t)carry_frag_.size() : 0;
+    put(&hp, 1);
+    put(&nc, 1);
+    if (hp) put_read(out, pending_);
+    for (uint8_t i = 0; i < nc; i++) put_read(out, carry_frag_[i]);
+    return out;
+  }
+
+  bool restore_token(const uint8_t* tok, int64_t len) {
+    int64_t off = 0;
+    auto get = [&](void* p, size_t n) -> bool {
+      if (off + (int64_t)n > len) return false;
+      memcpy(p, tok + off, n);
+      off += n;
+      return true;
+    };
+    auto get_read = [&](ParsedRead* r) -> bool {
+      uint32_t nl;
+      if (!get(&nl, 4) || off + nl > len) return false;
+      r->name.assign((const char*)tok + off, nl);
+      off += nl;
+      uint32_t nb, ng;
+      if (!get(&r->ref_id, 4) || !get(&r->strand, 4) || !get(&nb, 4))
+        return false;
+      r->blocks.resize(nb);
+      for (auto& p : r->blocks)
+        if (!get(&p.first, 4) || !get(&p.second, 4)) return false;
+      if (!get(&ng, 4)) return false;
+      r->gaps.resize(ng);
+      for (auto& p : r->gaps)
+        if (!get(&p.first, 4) || !get(&p.second, 4)) return false;
+      return true;
+    };
+    uint32_t magic;
+    int64_t target, st[5];
+    uint8_t hp, nc;
+    if (!get(&magic, 4) || magic != 0x31545249)
+      return fail("bad resume token (magic)");
+    if (!get(&target, 8) || !get(st, 40) || !get(&hp, 1) || !get(&nc, 1))
+      return fail("bad resume token (truncated)");
+    if (hp && !get_read(&pending_)) return fail("bad resume token (pending)");
+    pending_valid_ = hp != 0;
+    carry_frag_.clear();
+    for (uint8_t i = 0; i < nc; i++) {
+      ParsedRead r;
+      if (!get_read(&r)) return fail("bad resume token (carry)");
+      carry_frag_.push_back(std::move(r));
+    }
+    have_pending_flush_ = nc > 0;
+    stats_.reads_total = st[0];
+    stats_.reads_admitted = st[1];
+    stats_.fragments = st[2];
+    stats_.pairs = st[3];
+    stats_.singles = st[4];
+    // reposition: find the block containing `target` by cumulative isize
+    // (no inflation), reset the rolling buffer there — resume cost is
+    // O(#blocks) header arithmetic, independent of position in the BAM
+    int64_t cum = 0;
+    size_t b = 0;
+    while (b < blocks_.size() && cum + blocks_[b].isize <= target)
+      cum += blocks_[b++].isize;
+    if (b >= blocks_.size() && target != cum)
+      return fail("resume offset beyond end of BAM");
+    buf_.clear();
+    pos_ = 0;
+    next_consume_ = (int64_t)b;
+    appended_ = cum;
+    int64_t intra = target - cum;
+    if (intra > 0) {
+      if (!ensure((size_t)intra)) return fail("resume offset inside missing block");
+      pos_ = (size_t)intra;
     }
     return true;
   }
@@ -371,7 +528,7 @@ class Decoder {
       uint16_t flag = get<uint16_t>();
       pos_ += 16;  // l_seq, next_ref, next_pos, tlen
       stats_.reads_total++;
-      if ((flag & kFlagDropMask) || mapq < kMinMapq || ref_id < 0 ||
+      if ((flag & drop_mask_) || mapq < min_mapq_ || ref_id < 0 ||
           n_cigar == 0) {
         pos_ = body_end;
         continue;
@@ -388,7 +545,7 @@ class Decoder {
         uint32_t op = cig & 0xF, ln = cig >> 4;
         bool is_gap = (op == 3);                           // N
         bool consumes = (op == 0 || op == 2 || op == 7 || op == 8);  // M D = X
-        if (is_gap && (int32_t)ln >= kMinGapAsJunction) {
+        if (is_gap && (int32_t)ln >= min_gap_) {
           if (open_block) {
             out->blocks.emplace_back(blk_start, cur);
             open_block = false;
@@ -500,7 +657,12 @@ class Decoder {
   bool io_error_ = false;
 
   std::vector<uint8_t> buf_;
+  std::vector<uint8_t> sync_buf_;
   size_t pos_ = 0;
+  int64_t appended_ = 0;  // total inflated bytes ever appended to buf_
+  int32_t drop_mask_ = kFlagDropMask;
+  int32_t min_mapq_ = kMinMapq;
+  int32_t min_gap_ = kMinGapAsJunction;
   std::vector<std::string> ref_names_;
   std::vector<int64_t> ref_lens_;
   std::vector<int32_t> lut_;
@@ -528,12 +690,29 @@ typedef struct {
   int64_t cap_blocks, cap_gaps, cap_frags;
 } BdBatchView;
 
-void* bd_open(const char* path, int64_t cap_frags, int n_threads) {
+void* bd_open_ex(const char* path, int64_t cap_frags, int n_threads,
+                 int32_t flag_drop_mask, int32_t min_mapq, int32_t min_gap,
+                 const uint8_t* token, int64_t token_len) {
   auto* d = new Decoder();
-  if (!d->open(path, cap_frags, n_threads)) {
+  if (!d->open(path, cap_frags, n_threads, flag_drop_mask, min_mapq, min_gap,
+               token, token_len)) {
     // keep handle so the error is retrievable; caller must bd_close
   }
   return d;
+}
+
+void* bd_open(const char* path, int64_t cap_frags, int n_threads) {
+  return bd_open_ex(path, cap_frags, n_threads, kFlagDropMask, kMinMapq,
+                    kMinGapAsJunction, nullptr, 0);
+}
+
+// Serialize the resume token for the CURRENT position (call between
+// bd_next_batch calls).  Returns bytes written, or the required size when
+// buflen is too small; pass buflen=0 to size the buffer.
+int64_t bd_token(void* h, uint8_t* buf, int64_t buflen) {
+  auto tok = static_cast<Decoder*>(h)->token();
+  if ((int64_t)tok.size() <= buflen && buf) memcpy(buf, tok.data(), tok.size());
+  return (int64_t)tok.size();
 }
 
 const char* bd_error(void* h) { return static_cast<Decoder*>(h)->error.c_str(); }

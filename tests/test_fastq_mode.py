@@ -122,3 +122,31 @@ def test_fastq_mode_trim_filter(tmp_path):
     assert args2 == [str(out / "trimmed_1.fastq"), str(out / "trimmed_2.fastq")]
     trimmed = (out / "trimmed_1.fastq").read_text().splitlines()[1]
     assert trimmed == "ACGTACGTAC", "adapter suffix not clipped"
+
+
+def test_fastq_stream_keep_bam_tee(tmp_path):
+    """--stream --keep-bam tees the live aligner pipe into Unsorted.bam while
+    counting off it; the spooled BAM is byte-identical to the aligner output."""
+    ref = compile_reference(toy_exons(), chrom_order=CHROMS, rois=ROIS)
+    refdir = tmp_path / "REF"
+    ref.save(str(refdir))
+    bam = tmp_path / "aligned.bam"
+    bam.write_bytes(random_bam_bytes(seed=23, n_frags=150))
+    r1 = tmp_path / "r_1.fq"
+    _write_fastq(r1)
+    fake = tmp_path / "fake_aligner.sh"
+    fake.write_text(f"#!/bin/sh\ncat {bam}\n")
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+
+    out = tmp_path / "out_stream"
+    rc = main(
+        [
+            "FastQ", "-r", str(refdir), "-d", str(out), str(r1),
+            "--aligner-cmd", f"{fake} {{r1}}", "--stream", "--keep-bam",
+        ]
+    )
+    assert rc == 0
+    spooled = out / "Unsorted.bam"
+    assert spooled.exists()
+    assert spooled.read_bytes() == bam.read_bytes()
+    assert (out / "IRFinder-IR-nondir.txt").exists()

@@ -1,0 +1,134 @@
+"""Real-TPU hardware parity lane (VERDICT.md round 1, next-round #8).
+
+Run with:  IRTPU_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+
+Each test re-verifies on the real chip what the CPU suite verifies in Pallas
+interpret mode / via the XLA fallback: compiled-kernel results must be
+integer-exact against the independent reference path.  Skipped (not failed)
+when the session's backend is not TPU, so the default CPU suite stays green.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        jax.default_backend() != "tpu",
+        reason="real-TPU lane (set IRTPU_TPU_TESTS=1 and run on hardware)",
+    ),
+]
+
+
+def test_scatter_kernel_matches_xla_on_hw():
+    from irfinder_tpu.ops.scatter import pad_len, scatter_add_pallas
+
+    rng = np.random.default_rng(0)
+    m = pad_len(1 << 17)
+    idx = rng.integers(0, m, 200_000).astype(np.int32)
+    val = rng.choice(np.array([-1, 1], np.int32), size=idx.size)
+    a = scatter_add_pallas(jnp.zeros(m, jnp.int32), jnp.asarray(idx), jnp.asarray(val))
+    b = jax.jit(lambda c, i, v: c.at[i].add(v))(
+        jnp.zeros(m, jnp.int32), jnp.asarray(idx), jnp.asarray(val)
+    )
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rank_kernel_matches_xla_on_hw():
+    from irfinder_tpu.ops.device_ref import build_device_ref, mbs_rank
+    from irfinder_tpu.ops.pallas_rank import block_ranks_pallas
+    from irfinder_tpu.synth import synth_batch_arrays, synth_ref
+    from irfinder_tpu import semantics as S
+
+    ref = synth_ref(n_genes=200)
+    dref = build_device_ref(ref)
+    assert dref.rank_mbs is not None, "rank tables unavailable at this scale"
+    arrs, _ = synth_batch_arrays(ref, n_frags=4096, seed=3)
+    bc = jnp.asarray(arrs["blk_chrom"])
+    bs = jnp.asarray(arrs["blk_start"])
+    be = jnp.asarray(arrs["blk_end"])
+    bst = jnp.asarray(arrs["blk_strand"])
+    P = int(dref.sizes()["P"])
+    lo_k, hi_k, spans = block_ranks_pallas(
+        dref.rank_mbs, dref.rank_point, bc, bs, be, bst, int(S.SPANS_OVERHANG), P
+    )
+    B = bc.shape[0]
+    r2 = mbs_rank(dref, jnp.concatenate([bc, bc]), jnp.concatenate([bs, be]))
+    mbs = dref.uspan_off[-1]
+    lo_x = np.where(np.asarray(bc) >= 0, np.asarray(r2[:B]), mbs)
+    hi_x = np.where(np.asarray(bc) >= 0, np.asarray(r2[B:]), mbs)
+    lo_kk = np.where(np.asarray(bc) >= 0, np.asarray(lo_k), mbs)
+    hi_kk = np.where(np.asarray(bc) >= 0, np.asarray(hi_k), mbs)
+    assert np.array_equal(lo_kk, lo_x)
+    assert np.array_equal(hi_kk, hi_x)
+    assert int(np.asarray(spans).sum()) == 0  # spans diff sums to zero
+
+
+def test_count_step_matches_oracle_on_hw(tmp_path):
+    """Full compiled engine on the chip vs the scalar NumPy oracle on an
+    identical realistic BAM — every counter integer-exact."""
+    import os
+
+    from irfinder_tpu.engine import Engine, open_decoder
+    from irfinder_tpu.io.bamgen import write_realistic_bam
+    from irfinder_tpu.oracle import OracleCounters
+    from irfinder_tpu.synth import synth_ref
+
+    ref = synth_ref(n_genes=60)
+    bam = os.path.join(str(tmp_path), "t.bam")
+    write_realistic_bam(bam, ref, n_pairs=8_000, seed=13)
+
+    _, batches, _ = open_decoder(ref, bam, 2048, True, 2)
+    orc = OracleCounters.create(ref)
+    for b in batches:
+        orc.add_batch(b)
+
+    eng = Engine(ref, cap_frags=2048)
+    eng._device_stats = False  # pull raw depth for the comparison
+    hdr, batches, _ = open_decoder(ref, bam, 2048, True, 2)
+    eng.reset(n_refids=len(hdr.ref_names))
+    eng.run_stream(batches)
+    fc = eng.counters_host()
+    np.testing.assert_array_equal(np.asarray(fc["depth"]), orc.depth)
+    np.testing.assert_array_equal(fc["start_cnt"], orc.start_cnt)
+    np.testing.assert_array_equal(fc["end_cnt"], orc.end_cnt)
+    np.testing.assert_array_equal(fc["exact_cnt"], orc.exact_cnt)
+    np.testing.assert_array_equal(fc["span_hits"], orc.span_hits)
+    np.testing.assert_array_equal(fc["roi_cnt"], orc.roi_cnt)
+
+
+def test_device_stats_finalize_matches_host_on_hw():
+    """End-to-end on the chip: device-stats finalize vs the host stats path
+    (IRTPU_DEVICE_STATS toggling), byte-identical tables."""
+    import os
+    import tempfile
+
+    from irfinder_tpu.engine import run_bam
+    from irfinder_tpu.io.bamgen import write_realistic_bam
+    from irfinder_tpu.synth import synth_ref
+
+    ref = synth_ref(n_genes=60)
+    tmp = tempfile.mkdtemp(prefix="irtpu_hw_")
+    bam = os.path.join(tmp, "t.bam")
+    write_realistic_bam(bam, ref, n_pairs=20_000, seed=4)
+    out_dev = os.path.join(tmp, "dev")
+    run_bam(ref, bam, out_dev)  # tpu backend -> device stats path
+
+    # host path: force by flipping the engine's flag
+    from irfinder_tpu.engine import Engine, open_decoder, write_outputs
+
+    eng = Engine(ref)
+    eng._device_stats = False
+    header, batches, stats = open_decoder(ref, bam, 1 << 15, True, 2)
+    eng.reset(n_refids=len(header.ref_names))
+    eng.run_stream(batches)
+    res = eng.results()
+    out_host = os.path.join(tmp, "host")
+    write_outputs(out_host, ref, header, eng, res)
+    for t in ("IRFinder-IR-nondir.txt", "IRFinder-IR-dir.txt"):
+        a = open(os.path.join(out_dev, t)).read()
+        b = open(os.path.join(out_host, t)).read()
+        assert a == b, f"{t}: device-stats finalize != host stats on hardware"
