@@ -102,6 +102,35 @@ class Engine:
         )
         self._stats_interpret = jax.default_backend() != "tpu"
         self._finref = None
+        self._finref_thread = None
+        if self._device_stats:
+            # the finalize index tables are a pure function of the ref and
+            # take ~30s of host flattening at whole-genome MBS
+            # (ops/finalize_stats.build_finalize_ref): build them on a
+            # background thread so they overlap the counting loop instead of
+            # serializing into the first finalize
+            import threading
+
+            def _bg():
+                from .ops.finalize_stats import build_finalize_ref
+
+                try:
+                    self._finref = build_finalize_ref(self.ref)
+                except Exception:
+                    pass  # surfaced by the synchronous build at finalize
+
+            self._finref_thread = threading.Thread(target=_bg, daemon=True)
+            self._finref_thread.start()
+
+    def _get_finref(self):
+        if self._finref_thread is not None:
+            self._finref_thread.join()
+            self._finref_thread = None
+        if self._finref is None:
+            from .ops.finalize_stats import build_finalize_ref
+
+            self._finref = build_finalize_ref(self.ref)
+        return self._finref
 
     # -- lifecycle -----------------------------------------------------------
     def new_state(self, n_refids: int) -> SampleState:
@@ -223,12 +252,10 @@ class Engine:
         st.metrics.dir_informative = int(n_inf)
         pending = None
         if self._device_stats:
-            from .ops.finalize_stats import build_finalize_ref, device_all_stats_async
+            from .ops.finalize_stats import device_all_stats_async
 
-            if self._finref is None:
-                self._finref = build_finalize_ref(self.ref)
             pending = device_all_stats_async(
-                self.ref, self._finref, fin["depth"], bool(flip),
+                self.ref, self._get_finref(), fin["depth"], bool(flip),
                 interpret=self._stats_interpret,
             )
         st.metrics.finalize_s += time.perf_counter() - t0
@@ -283,14 +310,12 @@ class Engine:
             # tunneled chips): the nondir table needs the strand-summed plane
             # for every intron; the dir table needs each annotation-strand
             # subset's plane (flip picks which)
-            from .ops.finalize_stats import build_finalize_ref, device_all_stats
+            from .ops.finalize_stats import device_all_stats
 
-            if self._finref is None:
-                self._finref = build_finalize_ref(self.ref)
             depth_dev = jax.numpy.asarray(fc["depth"])
             cache.update(
                 device_all_stats(
-                    self.ref, self._finref, depth_dev, bool(flip),
+                    self.ref, self._get_finref(), depth_dev, bool(flip),
                     interpret=self._stats_interpret,
                 )
             )
@@ -377,6 +402,7 @@ def run_bam(
     if checkpoint:
         from .checkpoint import load_checkpoint, restore_state, save_checkpoint
 
+        _snap_cost = [0.1]  # measured seconds per snapshot (adaptive cadence)
         ck = load_checkpoint(checkpoint)
         token = ck[4] if ck is not None else None
         skip = 0
@@ -392,14 +418,25 @@ def run_bam(
         else:
             engine.reset(n_refids=len(header.ref_names))
         done = 0
+        last_snap = time.perf_counter()
         for b in batches:
             if done < skip:
                 done += 1
                 continue
             engine.process_batch(b)
             done += 1
+            # batch cadence, floored by a minimum wall interval: at
+            # whole-genome scale one snapshot pulls the full counter vector
+            # (~2.4 GB) off the device — on a tunneled link that is minutes,
+            # so frequency must adapt to measured snapshot cost, not batch
+            # count alone (a snapshot never costs more than ~25% of runtime)
             if (done - skip) % checkpoint_every == 0:
-                save_checkpoint(checkpoint, engine._st)
+                now = time.perf_counter()
+                if now - last_snap >= 4.0 * _snap_cost[0]:
+                    t0s = time.perf_counter()
+                    save_checkpoint(checkpoint, engine._st)
+                    _snap_cost[0] = max(time.perf_counter() - t0s, 0.1)
+                    last_snap = time.perf_counter()
     else:
         header, batches, stats = open_decoder(ref, bam, cap_frags, use_native, n_threads)
         engine.reset(n_refids=len(header.ref_names))

@@ -404,15 +404,12 @@ def block_ranks_pallas(
     """
     pw = point_count + 1
     sp_rows = _round_up(_round_up(2 * pw, 128) // 128, 8)
-    # whole-genome-scale tables + the resident spans block overflow the
-    # default 16MB scoped-VMEM budget by a couple of MB; raise the cap for
-    # this kernel only (blocks can't shrink below QR=8 rows)
-    resident = mbs_t.bot_cat.size + pt_t.bot_cat.size + sp_rows * 128 * 4
-    params = (
-        pltpu.CompilerParams(vmem_limit_bytes=24 << 20)
-        if resident > 3 << 20
-        else None
-    )
+    # the kernel's scoped usage sits at ~16MB for mid-size tables (one-hot
+    # gather intermediates) and the default 16MB cap is hair-trigger — some
+    # table shapes (observed: 36k-intron 24-chrom maps) overflow it by a few
+    # hundred KB.  Raise the cap for this kernel unconditionally: v5e has
+    # 128MB VMEM and an unused allowance costs nothing.
+    params = pltpu.CompilerParams(vmem_limit_bytes=32 << 20)
     qchunk = QCHUNK
 
     B = blk_chrom.shape[0]

@@ -199,11 +199,22 @@ def make_genome_sharded_step(mesh: Mesh, axis: str = "genome"):
     return jitted, place
 
 
-def make_dp_genome_step(mesh: Mesh, dp_axis: str = "dp", g_axis: str = "genome"):
+def make_dp_genome_step(
+    mesh: Mesh, dp_axis: str = "dp", g_axis: str = "genome", routed: bool = False
+):
     """The composed 2D sharding (SURVEY.md §2 row 21): read stream sharded
     over `dp_axis`, reference map sharded over `g_axis`, counters carried per
     (dp, genome) device and merged as sum-over-dp then concat-over-genome.
-    This is the whole-genome multi-chip configuration (BASELINE config E)."""
+    This is the whole-genome multi-chip configuration (BASELINE config E).
+
+    routed=False replicates each dp-shard batch to every genome shard
+    (non-owned queries self-neutralize; simple, but compute scales xG
+    redundantly).  routed=True expects a route_flat_batch() batch whose flat
+    columns are sharded over BOTH axes — each genome shard only sees reads
+    on its own chromosomes, removing the redundancy at the cost of a cheap
+    host-side partition (reads are already chrom-tagged).  Pass
+    routed=True to reassemble_counters as well (chr/frag tallies become
+    per-shard partial sums instead of replicas)."""
 
     def local(dref, counters, batch):
         d = jax.tree_util.tree_map(lambda v: v[0], dref)
@@ -211,10 +222,12 @@ def make_dp_genome_step(mesh: Mesh, dp_axis: str = "dp", g_axis: str = "genome")
         c = count_step(d, c, batch)
         return {k: v[None, None] for k, v in c.items()}
 
+    bshard = P((dp_axis, g_axis)) if routed else P(dp_axis)
+
     def step(dref, counters, batch):
         drspec = jax.tree_util.tree_map(lambda _: P(g_axis), dref)
         cspec = {k: P(dp_axis, g_axis) for k in counters}
-        bspec = {k: P(dp_axis) for k in batch}
+        bspec = {k: bshard for k in batch}
         fn = jax.shard_map(
             local, mesh=mesh, in_specs=(drspec, cspec, bspec), out_specs=cspec,
             # Pallas kernels in the body carry no vma annotations; the body
@@ -234,10 +247,60 @@ def make_dp_genome_step(mesh: Mesh, dp_axis: str = "dp", g_axis: str = "genome")
         return {k: jax.device_put(v, sh) for k, v in counters.items()}
 
     def place_batch(batch):
-        sh = NamedSharding(mesh, P(dp_axis))
+        sh = NamedSharding(mesh, bshard)
         return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
     return jitted, place_dref, place_counters, place_batch
+
+
+def route_flat_batch(
+    plan: ShardPlan, batch: dict, n_dp: int, n_g: int, lane: int = 128
+) -> tuple[dict, np.ndarray]:
+    """Partition a device-batch column dict by (dp chunk, owning genome
+    shard) into flat columns shardable with P((dp, genome)).
+
+    Rows are assigned to dp chunks contiguously (matching P(dp) slicing of
+    the replicated path) and to genome shards by chromosome ownership
+    (plan.bounds); pad rows (chrom < 0) are dropped.  Every (dp, g) cell is
+    padded to the max cell population (rounded to `lane`), so the flat
+    column splits evenly across the mesh.  Returns (batch dict, (n_dp, n_g)
+    fragment counts per cell)."""
+    bounds = np.asarray(plan.bounds)
+    blk_cols = ("blk_chrom", "blk_start", "blk_end", "blk_strand")
+    frag_cols = ("frag_chrom", "frag_refid", "frag_start", "frag_end", "frag_strand")
+    out: dict = {}
+    counts = None
+    for cols, chrom_col in ((blk_cols, "blk_chrom"), (frag_cols, "frag_chrom")):
+        chrom = np.asarray(batch[chrom_col])
+        B = chrom.shape[0]
+        if B % n_dp:
+            raise ValueError(f"column length {B} not divisible by n_dp={n_dp}")
+        sub = B // n_dp
+        dp_of = np.arange(B) // sub
+        valid = chrom >= 0
+        g_of = np.searchsorted(bounds, chrom, side="right") - 1
+        g_of = np.clip(g_of, 0, n_g - 1)
+        cell = dp_of * n_g + g_of
+        # stable order within each cell preserves read order per shard
+        order = np.argsort(np.where(valid, cell, n_dp * n_g), kind="stable")
+        cellcnt = np.bincount(cell[valid], minlength=n_dp * n_g)
+        cap = max(lane, int(-(-cellcnt.max() // lane) * lane))
+        n_valid = int(valid.sum())
+        src = order[:n_valid]  # valid rows, grouped by cell
+        cell_sorted = cell[src]
+        within = np.arange(n_valid) - np.repeat(
+            np.concatenate([[0], np.cumsum(cellcnt)[:-1]]), cellcnt
+        )
+        dst = cell_sorted * cap + within
+        for nm in cols:
+            col = np.asarray(batch[nm])
+            fill = -1 if nm in ("blk_chrom", "frag_chrom", "frag_refid") else 0
+            o = np.full(n_dp * n_g * cap, fill, dtype=col.dtype)
+            o[dst] = col[src]
+            out[nm] = o
+        if chrom_col == "frag_chrom":
+            counts = cellcnt.reshape(n_dp, n_g)
+    return out, counts
 
 
 @jax.jit
@@ -266,7 +329,8 @@ def init_stacked_counters(sdref: DeviceRef, n_refids: int, n_shards: int) -> dic
 
 
 def reassemble_counters(
-    ref: CompiledRef, plan: ShardPlan, per_shard, n_refids: int
+    ref: CompiledRef, plan: ShardPlan, per_shard, n_refids: int,
+    routed: bool = False,
 ) -> dict:
     """Host-side merge: slice each shard's flat cnt with the (uniform padded)
     layout, drop per-shard padding using the plan's real sizes, concatenate in
@@ -296,8 +360,14 @@ def reassemble_counters(
         parts["span_hits"].append(np.cumsum(sp, axis=1)[:, :-1])
         parts["roi_cnt"].append(sect2(cnt, lay.off_roi, lay.R + 1)[:, : r["roi"]])
     out = {k: np.concatenate(v, axis=1).astype(np.int32) for k, v in parts.items()}
-    # every genome shard sees the full fragment stream, so shard 0's dense
-    # per-refid tally and fragment total are already the global ones
-    out["chr_frag"] = stacked_chr[0][:n_refids]
-    out["n_frags"] = stacked_cnt[0][lay.off_nf]
+    if routed:
+        # routed batches: each genome shard counted only its own chroms'
+        # fragments — the global tallies are the per-shard sums
+        out["chr_frag"] = stacked_chr.sum(axis=0)[:n_refids].astype(np.int32)
+        out["n_frags"] = stacked_cnt[:, lay.off_nf].sum().astype(np.int32)
+    else:
+        # replicated batches: every genome shard sees the full fragment
+        # stream, so shard 0's dense per-refid tally is already global
+        out["chr_frag"] = stacked_chr[0][:n_refids]
+        out["n_frags"] = stacked_cnt[0][lay.off_nf]
     return out

@@ -108,3 +108,47 @@ def test_dp_x_genome_composed_equals_unsharded(ref):
     got["start_cnt"], got["end_cnt"], got["exact_cnt"] = junction_counters(ref, tally)
     for k in want:
         np.testing.assert_array_equal(np.asarray(got[k]), want[k], err_msg=k)
+
+
+def test_dp_x_genome_routed_equals_unsharded(ref):
+    """Host-routed batches (each genome shard only sees its own chroms'
+    reads) produce integer-identical counters to the replicated path and the
+    unsharded engine (VERDICT round 1, next-round #5)."""
+    from irfinder_tpu.parallel.genome import (
+        init_dp_genome_counters,
+        make_dp_genome_step,
+        merge_dp,
+        route_flat_batch,
+    )
+    from irfinder_tpu.parallel.shard import pad_batch_to_multiple
+
+    bam = random_bam_bytes(seed=29, n_frags=300)
+    hdr, batches, _ = decode_bam(io.BytesIO(bam), CHROM_INDEX)
+    eng = Engine(ref)
+    eng.reset(n_refids=len(hdr.ref_names))
+    eng.run_stream(batches)
+    want = eng.counters_host()
+
+    n_dp, n_g = 2, 4
+    plan = plan_shards(ref, n_g)
+    sdref = build_stacked_dref(ref, plan)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(n_dp, n_g), ("dp", "genome"))
+    step, place_dref, place_c, place_b = make_dp_genome_step(mesh, routed=True)
+    counters = place_c(init_dp_genome_counters(sdref, len(hdr.ref_names), n_dp, n_g))
+    sdref = place_dref(sdref)
+    _, batches, _ = decode_bam(io.BytesIO(bam), CHROM_INDEX)
+    tally = JuncTally()
+    total_cells = 0
+    for b in batches:
+        tally_junctions(tally, b)
+        routed, cellcnt = route_flat_batch(
+            plan, pad_batch_to_multiple(b.device_arrays(), n_dp), n_dp, n_g
+        )
+        total_cells += int(cellcnt.sum())
+        counters = step(sdref, counters, place_b(routed))
+    per_shard = merge_dp(counters)
+    got = reassemble_counters(ref, plan, per_shard, len(hdr.ref_names), routed=True)
+    got["start_cnt"], got["end_cnt"], got["exact_cnt"] = junction_counters(ref, tally)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]), want[k], err_msg=k)
+    assert total_cells == int(np.asarray(want["n_frags"]))
