@@ -1,0 +1,82 @@
+"""Config D (BASELINE.json:10): 8 BAMs streamed concurrently through one
+engine (one device ref, one compiled step), realistic read mix, measured
+aggregate throughput + pooled differential.
+
+  python bench/config_d.py                    # 8 x 1M-record samples
+  CONFIG_D_PAIRS=100000 python bench/config_d.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CACHE = os.environ.get("BENCH_CACHE", os.path.expanduser("~/.cache/irfinder_bench"))
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from irfinder_tpu.diff import run_differential
+    from irfinder_tpu.engine import run_multi_bam
+    from irfinder_tpu.io.bamgen import write_realistic_bam
+    from irfinder_tpu.synth import synth_ref
+
+    n_pairs = int(os.environ.get("CONFIG_D_PAIRS", 500_000))
+    ref = synth_ref(n_genes=800)
+    os.makedirs(CACHE, exist_ok=True)
+    bams = []
+    for i in range(8):
+        p = os.path.join(CACHE, f"configD_s{i}_p{n_pairs}_v2.bam")
+        if not os.path.exists(p):
+            write_realistic_bam(p + ".tmp", ref, n_pairs=n_pairs, seed=1000 + i)
+            os.replace(p + ".tmp", p)
+        bams.append(p)
+
+    out_root = os.path.join(CACHE, "configD_out")
+    out_dirs = [os.path.join(out_root, f"s{i}") for i in range(8)]
+    # warm pass on one small sample to absorb compiles
+    import tempfile
+
+    from irfinder_tpu.engine import run_bam
+
+    warm = os.path.join(CACHE, "realistic_p50000_s3_v2.bam")
+    if not os.path.exists(warm):
+        write_realistic_bam(warm, ref, n_pairs=50_000, seed=3)
+    run_bam(ref, warm, os.path.join(tempfile.mkdtemp(), "warm"))
+
+    t0 = time.perf_counter()
+    metrics = run_multi_bam(ref, bams, out_dirs)
+    dt = time.perf_counter() - t0
+    total = sum(m.reads_total for m in metrics)
+
+    t1 = time.perf_counter()
+    run_differential(
+        cond_a=out_dirs[:4], cond_b=out_dirs[4:],
+        out_path=os.path.join(out_root, "IRFinder-Diff.txt"), min_cov=None,
+    )
+    diff_s = time.perf_counter() - t1
+    print(
+        json.dumps(
+            {
+                "metric": "config_d_aggregate_reads_per_s",
+                "value": round(total / dt, 1),
+                "unit": "reads/s",
+                "n_samples": 8,
+                "n_reads": total,
+                "wall_s": round(dt, 2),
+                "diff_s": round(diff_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

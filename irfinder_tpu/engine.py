@@ -193,26 +193,40 @@ class Engine:
 
         q: "queue.Queue" = queue.Queue(maxsize=2)
         SENTINEL = object()
+        stop = threading.Event()
 
         def feeder():
             try:
                 for b in batches:
-                    q.put((b, jax.device_put(b.fused_h2d())))
+                    flat = jax.device_put(b.fused_h2d())
+                    while not stop.is_set():
+                        try:
+                            q.put((b, flat), timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
                 q.put(SENTINEL)
             except BaseException as e:  # surfaced on the consumer side
                 q.put(e)
 
         t = threading.Thread(target=feeder, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            b, flat = item
-            self.process_batch(b, st, fused_dev=flat)
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                b, flat = item
+                self.process_batch(b, st, fused_dev=flat)
+        finally:
+            # a consumer error must not leave the feeder blocked on a full
+            # queue holding the decoder open
+            stop.set()
+            t.join()
 
     # -- finalize ------------------------------------------------------------
     def counters_host(self, st: SampleState | None = None) -> dict:
@@ -442,11 +456,19 @@ def run_bam(
         engine.reset(n_refids=len(header.ref_names))
         engine.run_stream(batches)
     engine.metrics.decode_s = time.perf_counter() - t0 - engine.metrics.device_s
-    res = engine.results()
+    # dispatch the finalize/stats device programs, then write the
+    # stats-independent JuncCount table while they run (2.5M rows at
+    # whole-genome 50M-read scale — several seconds of host formatting that
+    # would otherwise serialize after the device wait)
+    finish = engine.results_async()
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "IRFinder-JuncCount.txt"), "w") as fh:
+        fmt.write_junc_count(fh, ref.chroms, engine.junc_tally)
+    res = finish()
     engine.metrics.reads_total = stats.reads_total
     engine.metrics.reads_admitted = stats.reads_admitted
     engine.metrics.fragments = stats.fragments
-    write_outputs(out_dir, ref, header, engine, res)
+    write_outputs(out_dir, ref, header, engine, res, skip_junc=True)
     if checkpoint and os.path.exists(checkpoint):
         os.remove(checkpoint)
     return engine.metrics
@@ -504,12 +526,15 @@ def run_multi_bam(
     finishes = [engine.results_async(st=s["st"]) for s in streams]
     for s, out_dir, finish in zip(streams, out_dirs, finishes):
         st = s["st"]
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "IRFinder-JuncCount.txt"), "w") as fh:
+            fmt.write_junc_count(fh, ref.chroms, st.junc_tally)
         res = finish()
         st.metrics.reads_total = s["stats"].reads_total
         st.metrics.reads_admitted = s["stats"].reads_admitted
         st.metrics.fragments = s["stats"].fragments
         st.metrics.decode_s = wall - st.metrics.device_s
-        write_outputs(out_dir, ref, s["hdr"], engine, res, st=st)
+        write_outputs(out_dir, ref, s["hdr"], engine, res, st=st, skip_junc=True)
         out_metrics.append(st.metrics)
     return out_metrics
 
@@ -521,6 +546,7 @@ def write_outputs(
     engine: Engine,
     res: dict,
     st: SampleState | None = None,
+    skip_junc: bool = False,
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
     st = st or engine._st
@@ -529,8 +555,9 @@ def write_outputs(
         fmt.write_ir_table(fh, res["rows_nondir"])
     with open(os.path.join(out_dir, "IRFinder-IR-dir.txt"), "w") as fh:
         fmt.write_ir_table(fh, res["rows_dir"])
-    with open(os.path.join(out_dir, "IRFinder-JuncCount.txt"), "w") as fh:
-        fmt.write_junc_count(fh, ref.chroms, st.junc_tally)
+    if not skip_junc:  # run_bam writes it earlier, overlapped with the stats
+        with open(os.path.join(out_dir, "IRFinder-JuncCount.txt"), "w") as fh:
+            fmt.write_junc_count(fh, ref.chroms, st.junc_tally)
     with open(os.path.join(out_dir, "IRFinder-SpansPoint.txt"), "w") as fh:
         fmt.write_spans_point(fh, ref, fc["span_hits"])
     with open(os.path.join(out_dir, "IRFinder-ROI.txt"), "w") as fh:

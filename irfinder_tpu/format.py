@@ -81,10 +81,16 @@ def write_spans_point(out: IO[str], ref: CompiledRef, span_hits: np.ndarray) -> 
     aligned block spans it with >= SPANS_OVERHANG on both sides.
     Columns [R:verify]: Chr Coord Fwd Rev Total."""
     out.write("Chr\tCoord\tFwd\tRev\tTotal\n")
-    for i in range(ref.point_coord.size):
-        c = int(np.searchsorted(ref.point_seg, i, side="right")) - 1
-        fwd, rev = int(span_hits[0, i]), int(span_hits[1, i])
-        out.write(f"{ref.chroms[c]}\t{int(ref.point_coord[i])}\t{fwd}\t{rev}\t{fwd + rev}\n")
+    n = int(ref.point_coord.size)
+    cs = (np.searchsorted(ref.point_seg, np.arange(n), side="right") - 1).tolist()
+    coords = ref.point_coord.tolist()
+    fwds = np.asarray(span_hits[0]).tolist()
+    revs = np.asarray(span_hits[1]).tolist()
+    chroms = ref.chroms
+    out.writelines(
+        f"{chroms[c]}\t{co}\t{f}\t{r}\t{f + r}\n"
+        for c, co, f, r in zip(cs, coords, fwds, revs)
+    )
 
 
 def write_roi(out: IO[str], ref: CompiledRef, roi_cnt: np.ndarray) -> None:
