@@ -158,6 +158,7 @@ def realistic_stream(
     secondary_frac: float = 0.03,
     dup_frac: float = 0.05,
     exact_junction_frac: float = 0.5,
+    stranded: bool = False,
 ) -> tuple[bytes, MixStats]:
     """Build the record payload (post-header bytes) for a realistic mix
     against a CompiledRef's single-chromosome-family annotation.
@@ -211,7 +212,13 @@ def realistic_stream(
     pos2 = np.where(shp2 == 2, gstart - 50, np.where(shp2 == 3, gstart - 30, pos2))
     pos2 = np.clip(pos2, 0, None)
 
-    rev1 = rng.integers(0, 2, n_pairs).astype(np.uint16)
+    if stranded:
+        # strand-specific library (config B): read1's alignment strand equals
+        # the anchor gene's annotation strand — the directionality detector
+        # must call the library stranded from the exact-junction counters
+        rev1 = (ref.intron_strand[ii] == 1).astype(np.uint16)
+    else:
+        rev1 = rng.integers(0, 2, n_pairs).astype(np.uint16)
     dup = (rng.random(n_pairs) < dup_frac).astype(np.uint16) * 0x400
     f1 = 0x1 | 0x2 | 0x40 | np.where(rev1 == 1, 0x10, 0x20) | dup
     f2 = 0x1 | 0x2 | 0x80 | np.where(rev1 == 1, 0x20, 0x10) | dup

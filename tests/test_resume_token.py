@@ -102,3 +102,44 @@ def test_token_after_last_batch_resumes_empty(setup):
     # the tail batches; resume from it and re-resume transitively
     resumed, _ = _batches_py(path, ci, token=full[-2].resume_token if len(full) > 1 else full[0].resume_token)
     assert len(resumed) >= 1
+
+
+def test_corrupt_token_rejected(setup):
+    """Fault injection (SURVEY.md §5.3): mangled resume tokens fail with a
+    diagnosable error in BOTH decoders, never silent garbage."""
+    _, path, ci = setup
+    full, _ = _batches_py(path, ci)
+    tok = bytearray(full[2].resume_token)
+    tok[0] ^= 0xFF  # break the magic
+    with pytest.raises(ValueError, match="magic"):
+        _batches_py(path, ci, token=bytes(tok))
+    try:
+        from irfinder_tpu.native.bamdecode import decode_bam_native  # noqa: F401
+    except Exception:
+        pytest.skip("native decoder unavailable")
+    with pytest.raises(ValueError, match="magic|token"):
+        _batches_native(path, ci, token=bytes(tok))
+    # truncated token
+    short = full[2].resume_token[: len(full[2].resume_token) // 2]
+    with pytest.raises(Exception):
+        _batches_py(path, ci, token=short)
+    with pytest.raises(ValueError):
+        _batches_native(path, ci, token=short)
+
+
+def test_offset_beyond_eof_rejected(setup):
+    """A token whose logical offset exceeds the BAM fails cleanly."""
+    import struct
+
+    _, path, ci = setup
+    full, _ = _batches_py(path, ci)
+    tok = bytearray(full[2].resume_token)
+    struct.pack_into("<Q", tok, 4, 1 << 60)  # absurd offset
+    with pytest.raises(ValueError):
+        _batches_py(path, ci, token=bytes(tok))
+    try:
+        from irfinder_tpu.native.bamdecode import decode_bam_native  # noqa: F401
+    except Exception:
+        pytest.skip("native decoder unavailable")
+    with pytest.raises(ValueError):
+        _batches_native(path, ci, token=bytes(tok))
