@@ -36,6 +36,12 @@ def test_device_stats_path_matches_host(tmp_path):
     code = f"""
 import sys
 sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+# force the CPU backend: the axon sitecustomize registers the real TPU at
+# interpreter start and env-var overrides are ineffective (see tests/conftest
+# docstring) — without this the child jits through the tunnel and can hang
+# for minutes on a cold remote compile
+import jax
+jax.config.update("jax_platforms", "cpu")
 from irfinder_tpu.engine import run_bam
 from irfinder_tpu.refio.compile import compile_reference
 sys.path.insert(0, {repr(os.path.dirname(os.path.abspath(__file__)))})
