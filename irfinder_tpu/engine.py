@@ -45,6 +45,7 @@ class RunMetrics:
     decode_s: float = 0.0
     device_s: float = 0.0
     finalize_s: float = 0.0
+    checkpoint_s: float = 0.0
     is_stranded: bool = False
     flip_strand: bool = False
     dir_concordance: float = 0.0
@@ -180,14 +181,26 @@ class Engine:
     def _tally_junctions(st: SampleState, b: PackedBatch) -> None:
         tally_junctions(st.junc_tally, b)
 
-    def run_stream(self, batches: Iterable[PackedBatch], st: SampleState | None = None) -> None:
+    def run_stream(
+        self,
+        batches: Iterable[PackedBatch],
+        st: SampleState | None = None,
+        on_batch=None,
+        skip: int = 0,
+    ) -> None:
         """Pipelined streaming: a feeder thread pulls batches from the
         decoder (the native bd_next_batch call releases the GIL, so C++
         parse/inflate genuinely overlaps the main thread) AND ships each
         fused H2D buffer (device_put blocks for ~bytes/bandwidth on the
         tunneled link — doing it on the feeder overlaps the transfer with
         the main thread's step dispatch and junction tally), with a bounded
-        two-batch prefetch window."""
+        two-batch prefetch window.
+
+        on_batch(done): optional per-batch hook on the consumer side (the
+        checkpoint cadence of run_bam rides here, so checkpointed runs keep
+        the full decode/H2D overlap instead of a synchronous loop).
+        skip: discard this many leading batches in the feeder without H2D
+        (legacy token-less checkpoint resume re-decodes the prefix)."""
         import queue
         import threading
 
@@ -197,7 +210,11 @@ class Engine:
 
         def feeder():
             try:
+                n_skipped = 0
                 for b in batches:
+                    if n_skipped < skip:
+                        n_skipped += 1
+                        continue
                     flat = jax.device_put(b.fused_h2d())
                     while not stop.is_set():
                         try:
@@ -213,6 +230,7 @@ class Engine:
 
         t = threading.Thread(target=feeder, daemon=True)
         t.start()
+        done = 0
         try:
             while True:
                 item = q.get()
@@ -222,11 +240,79 @@ class Engine:
                     raise item
                 b, flat = item
                 self.process_batch(b, st, fused_dev=flat)
+                done += 1
+                if on_batch is not None:
+                    on_batch(done)
         finally:
             # a consumer error must not leave the feeder blocked on a full
             # queue holding the decoder open
             stop.set()
             t.join()
+
+    def run_multi_stream(self, streams: "list[tuple]") -> None:
+        """Config D's pipeline: one feeder thread PER sample (decode +
+        fused H2D off the main thread, exactly as run_stream does for one
+        sample), all draining into a single bounded queue consumed by the
+        main thread's step dispatch.  N native decoders inflate/parse
+        concurrently while the device counts whichever sample's batch
+        arrived first — arrival order is irrelevant because counters are
+        per-sample and add-associative.
+
+        streams: list of (batch_iterable, SampleState).  Per-sample
+        metrics.decode_s measures the feeder's blocking time in its decoder
+        (true per-sample attribution; feeders overlap, so the sum can exceed
+        wall time)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(4, 2 * len(streams)))
+        DONE = object()
+        stop = threading.Event()
+
+        def feeder(batches, st):
+            try:
+                it = iter(batches)
+                while True:
+                    t0 = time.perf_counter()
+                    try:
+                        b = next(it)
+                    except StopIteration:
+                        break
+                    st.metrics.decode_s += time.perf_counter() - t0
+                    flat = jax.device_put(b.fused_h2d())
+                    while not stop.is_set():
+                        try:
+                            q.put((b, st, flat), timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                q.put(DONE)
+            except BaseException as e:
+                q.put(e)
+
+        threads = [
+            threading.Thread(target=feeder, args=(it_, st_), daemon=True)
+            for it_, st_ in streams
+        ]
+        for t in threads:
+            t.start()
+        live = len(streams)
+        try:
+            while live:
+                item = q.get()
+                if item is DONE:
+                    live -= 1
+                    continue
+                if isinstance(item, BaseException):
+                    raise item
+                b, st, flat = item
+                self.process_batch(b, st, fused_dev=flat)
+        finally:
+            stop.set()
+            for t in threads:
+                t.join()
 
     # -- finalize ------------------------------------------------------------
     def counters_host(self, st: SampleState | None = None) -> dict:
@@ -431,31 +517,39 @@ def run_bam(
                 skip = engine._st.metrics.batches
         else:
             engine.reset(n_refids=len(header.ref_names))
-        done = 0
-        last_snap = time.perf_counter()
-        for b in batches:
-            if done < skip:
-                done += 1
-                continue
-            engine.process_batch(b)
-            done += 1
+        last_snap = [time.perf_counter()]
+
+        def maybe_snapshot(done: int) -> None:
             # batch cadence, floored by a minimum wall interval: at
             # whole-genome scale one snapshot pulls the full counter vector
             # (~2.4 GB) off the device — on a tunneled link that is minutes,
             # so frequency must adapt to measured snapshot cost, not batch
             # count alone (a snapshot never costs more than ~25% of runtime)
-            if (done - skip) % checkpoint_every == 0:
-                now = time.perf_counter()
-                if now - last_snap >= 4.0 * _snap_cost[0]:
-                    t0s = time.perf_counter()
-                    save_checkpoint(checkpoint, engine._st)
-                    _snap_cost[0] = max(time.perf_counter() - t0s, 0.1)
-                    last_snap = time.perf_counter()
+            if done % checkpoint_every:
+                return
+            if time.perf_counter() - last_snap[0] < 4.0 * _snap_cost[0]:
+                return
+            t0s = time.perf_counter()
+            save_checkpoint(checkpoint, engine._st)
+            dt = time.perf_counter() - t0s
+            engine.metrics.checkpoint_s += dt
+            _snap_cost[0] = max(dt, 0.1)
+            last_snap[0] = time.perf_counter()
+
+        # checkpointed runs ride the SAME streaming pipeline (decode + H2D
+        # on the feeder thread) as plain runs; snapshots happen between
+        # consumer steps (round-2 checkpointed config C lost 4.6x to a
+        # synchronous fallback loop here)
+        engine.run_stream(batches, on_batch=maybe_snapshot, skip=skip)
     else:
         header, batches, stats = open_decoder(ref, bam, cap_frags, use_native, n_threads)
         engine.reset(n_refids=len(header.ref_names))
         engine.run_stream(batches)
-    engine.metrics.decode_s = time.perf_counter() - t0 - engine.metrics.device_s
+    engine.metrics.decode_s = (
+        time.perf_counter() - t0
+        - engine.metrics.device_s
+        - engine.metrics.checkpoint_s
+    )
     # dispatch the finalize/stats device programs, then write the
     # stats-independent JuncCount table while they run (2.5M rows at
     # whole-genome 50M-read scale — several seconds of host formatting that
@@ -486,10 +580,11 @@ def run_multi_bam(
     stream N BAMs concurrently through ONE Engine (one device ref, one
     compiled step), each sample accumulating into its own SampleState.
 
-    Batches are pulled round-robin across the still-active decoders, so the
-    native decoders' worker threads inflate/parse sample i+1 while the device
-    counts sample i — multi-sample pipeline parallelism without any extra
-    device memory beyond N counter vectors (counters are O(#introns), tiny).
+    Every sample gets its own feeder thread (decode + fused H2D prefetch,
+    the run_stream treatment) draining into one consumer that dispatches the
+    shared compiled step — N decoders inflate/parse concurrently while the
+    device counts whichever batch landed first.  No extra device memory
+    beyond N counter vectors (counters are O(#introns), tiny).
     """
     if len(bams) != len(out_dirs):
         raise ValueError("bams and out_dirs must pair up")
@@ -499,28 +594,15 @@ def run_multi_bam(
         use_native = config.use_native
         n_threads = config.decoder_threads
     engine = Engine(ref, cap_frags=cap_frags)
-    t0 = time.perf_counter()
     streams = []
     for path in bams:
         header, batches, stats = open_decoder(ref, path, cap_frags, use_native, n_threads)
         st = engine.new_state(n_refids=len(header.ref_names))
-        streams.append({"it": iter(batches), "st": st, "hdr": header, "stats": stats})
+        streams.append({"it": batches, "st": st, "hdr": header, "stats": stats})
 
-    active = list(range(len(streams)))
-    while active:
-        nxt = []
-        for i in active:
-            s = streams[i]
-            try:
-                b = next(s["it"])
-            except StopIteration:
-                continue
-            engine.process_batch(b, s["st"])
-            nxt.append(i)
-        active = nxt
+    engine.run_multi_stream([(s["it"], s["st"]) for s in streams])
 
     out_metrics = []
-    wall = time.perf_counter() - t0
     # dispatch every sample's finalize + stats programs first, then unpack:
     # the device computes sample i+1 while the host joins/formats sample i
     finishes = [engine.results_async(st=s["st"]) for s in streams]
@@ -533,7 +615,9 @@ def run_multi_bam(
         st.metrics.reads_total = s["stats"].reads_total
         st.metrics.reads_admitted = s["stats"].reads_admitted
         st.metrics.fragments = s["stats"].fragments
-        st.metrics.decode_s = wall - st.metrics.device_s
+        # decode_s was attributed per-sample by the feeders (blocking decoder
+        # time, NOT wall - device_s, which double-booked overlapped time
+        # across samples); `wall` is only used for the aggregate bench number
         write_outputs(out_dir, ref, s["hdr"], engine, res, st=st, skip_junc=True)
         out_metrics.append(st.metrics)
     return out_metrics

@@ -97,14 +97,20 @@ def write_roi(out: IO[str], ref: CompiledRef, roi_cnt: np.ndarray) -> None:
     """IRFinder-ROI.txt: fragment counts per named region of interest.
     Columns [R:verify]: Name Chr Start End Strand Fwd Rev Total."""
     out.write("Name\tChr\tStart\tEnd\tStrand\tFwd\tRev\tTotal\n")
-    for r in range(len(ref.roi_names)):
-        c = int(np.searchsorted(ref.roi_seg, r, side="right")) - 1
-        fwd, rev = int(roi_cnt[0, r]), int(roi_cnt[1, r])
-        out.write(
-            f"{ref.roi_names[r]}\t{ref.chroms[c]}\t{int(ref.roi_start[r])}\t"
-            f"{int(ref.roi_end[r])}\t{STRAND_CHAR[int(ref.roi_strand[r])]}\t"
-            f"{fwd}\t{rev}\t{fwd + rev}\n"
+    n = len(ref.roi_names)
+    cs = (np.searchsorted(ref.roi_seg, np.arange(n), side="right") - 1).tolist()
+    fwds = np.asarray(roi_cnt[0, :n]).tolist()
+    revs = np.asarray(roi_cnt[1, :n]).tolist()
+    out.writelines(
+        f"{ref.roi_names[r]}\t{ref.chroms[cs[r]]}\t{s}\t{e}\t{STRAND_CHAR[st]}\t"
+        f"{f}\t{v}\t{f + v}\n"
+        for r, (s, e, st, f, v) in enumerate(
+            zip(
+                ref.roi_start.tolist(), ref.roi_end.tolist(),
+                ref.roi_strand.tolist(), fwds, revs,
+            )
         )
+    )
 
 
 def write_chr_coverage(out: IO[str], ref_names: Sequence[str], chr_frag: np.ndarray) -> None:
