@@ -74,7 +74,17 @@ def cmd_bam(args) -> int:
     cfg = RunConfig.from_args(args)
 
     def run():
-        m = run_bam(ref, args.bam, args.out, config=cfg)
+        if getattr(args, "mesh", None):
+            # sharded pipeline (BASELINE config E): decode -> route ->
+            # shard_map step on a Mesh("dp","genome") -> merge -> tables,
+            # byte-identical to the unsharded path (engine_mesh.py)
+            from .engine_mesh import MeshSpec, run_bam_mesh
+
+            if cfg.checkpoint:
+                raise SystemExit("--checkpoint is not supported with --mesh yet")
+            m = run_bam_mesh(ref, args.bam, args.out, MeshSpec.parse(args.mesh), config=cfg)
+        else:
+            m = run_bam(ref, args.bam, args.out, config=cfg)
         if getattr(args, "keep_bam", False):
             # Unsorted.bam pass-through (SURVEY.md §1.2 artifact list): BAM
             # mode's input already IS the unsorted stream; link or copy it
@@ -402,6 +412,12 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument(
         "--keep-bam", dest="keep_bam", action="store_true",
         help="also emit the input stream as <out>/Unsorted.bam (pass-through)",
+    )
+    c.add_argument(
+        "--mesh",
+        help="sharded counting: dp=N,genome=G[,routed] — read stream over N "
+        "devices x intron map over G shards (genome=G with one device runs "
+        "the single-chip binned form); outputs byte-identical to unsharded",
     )
     c.set_defaults(fn=cmd_bam)
 

@@ -1,0 +1,377 @@
+"""Mesh-wired end-to-end counting — BASELINE config E as a runnable pipeline.
+
+The round-2 machinery (parallel/shard.py, parallel/genome.py) proved the
+shardings integer-exact but was reachable only from tests and hand-assembled
+benches.  This module composes it into the same contract as engine.run_bam:
+
+    decode -> [pad / route] -> jitted shard_map step on a Mesh("dp","genome")
+           -> deterministic integer merge -> reassemble -> finalize
+           -> the full byte-identical output table set.
+
+Three execution shapes, all through one MeshEngine (SURVEY.md §5.7-5.8):
+
+* dp=N              read stream sharded over N chips, map replicated.
+* dp=N, genome=G    map sharded over G chips (whole-genome maps that don't
+                    fit one chip), batch replicated across genome.
+* ... routed        host partitions each batch by owning chromosome so every
+                    genome shard only counts its own reads (removes the xG
+                    redundant compute of the replicated form).
+* genome=G on ONE device: the "binned" degenerate mesh — the same routed
+  partition + per-shard tables, stepped by one jitted lax.map over the G
+  bins.  This keeps every per-bin table inside the Pallas rank kernel's
+  VMEM budget (ops/pallas_rank.py MAX_NB), where the whole-genome unsharded
+  table would fall back to the slower XLA path (round-2 config C cost).
+
+Counters are integers and the merge order is fixed, so results are
+bit-identical at any (dp, genome) shape — tests/test_engine_mesh.py asserts
+the full table set byte-equal sharded vs unsharded.
+
+Reference parity: the reference had no distributed capability (SURVEY.md §2
+rows 21-22 [R]); this is the TPU-native scale-out design, not a port.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Iterable
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from .engine import RunMetrics, SampleState, open_decoder, tally_junctions, write_outputs
+from .finalize import detect_directionality, intron_rows, junction_counters
+from .io.batch import PackedBatch
+from .ops.step import count_step, _JIT_CACHE
+from .parallel.genome import (
+    build_stacked_dref,
+    init_dp_genome_counters,
+    init_stacked_counters,
+    make_depth_reassemble,
+    make_dp_genome_step,
+    merge_dp,
+    plan_shards,
+    reassemble_counters,
+    route_flat_batch,
+)
+from .parallel.shard import pad_batch_to_multiple
+from .refio.compile import CompiledRef
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    """Parsed --mesh flag: dp=N,genome=G[,routed]."""
+
+    dp: int = 1
+    genome: int = 1
+    routed: bool = False
+
+    @staticmethod
+    def parse(s: str) -> "MeshSpec":
+        dp, genome, routed = 1, 1, False
+        for part in s.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            if part == "routed":
+                routed = True
+            elif part.startswith("dp="):
+                dp = int(part[3:])
+            elif part.startswith("genome="):
+                genome = int(part[7:])
+            else:
+                raise ValueError(
+                    f"bad --mesh component {part!r} (want dp=N,genome=G[,routed])"
+                )
+        if dp < 1 or genome < 1:
+            raise ValueError("--mesh axes must be >= 1")
+        return MeshSpec(dp=dp, genome=genome, routed=routed)
+
+    @property
+    def n_devices(self) -> int:
+        return self.dp * self.genome
+
+
+def _make_binned_step(n_bins: int):
+    """One jitted step over a stacked (G, ...) DeviceRef on a SINGLE device:
+    lax.map over the genome bins, each iteration running the ordinary
+    count_step (Pallas rank kernel engaged per bin, since per-bin tables fit
+    its VMEM budget).  Process-global per bin count, like make_count_step."""
+    key = ("binned", n_bins)
+    step = _JIT_CACHE.get(key)
+    if step is None:
+
+        def bstep(sdref, counters, batch):
+            def one(args):
+                d, c, b = args
+                return count_step(d, c, b)
+
+            return jax.lax.map(one, (sdref, counters, batch))
+
+        step = _JIT_CACHE[key] = jax.jit(bstep, donate_argnums=(1,))
+    return step
+
+
+class MeshEngine:
+    """One genome-sharded reference + one compiled sharded step; per-sample
+    state in engine.SampleState (counters carry mesh shardings).
+
+    Device selection: `devices` (default jax.devices()) must provide
+    spec.n_devices chips for a real mesh.  The special case spec.dp == 1 with
+    ONE available device runs the binned single-device form instead (same
+    routed partition, lax.map over bins)."""
+
+    def __init__(
+        self,
+        ref: CompiledRef,
+        spec: MeshSpec,
+        devices=None,
+        cap_frags: int = 1 << 15,
+    ):
+        self.ref = ref
+        self.spec = spec
+        self.cap_frags = cap_frags
+        devices = list(devices if devices is not None else jax.devices())
+        self.binned = spec.dp == 1 and spec.genome > 1 and len(devices) < spec.genome
+        if self.binned and len(devices) >= 1:
+            devices = devices[:1]
+        elif len(devices) < spec.n_devices:
+            raise ValueError(
+                f"mesh {spec} needs {spec.n_devices} devices, have {len(devices)}"
+            )
+        else:
+            devices = devices[: spec.n_devices]
+        self.devices = devices
+        # the binned form replicating the batch over bins on one chip would
+        # just multiply work xG; it is always routed
+        self.routed = bool(spec.routed or self.binned)
+
+        self.plan = plan_shards(ref, spec.genome)
+        self.sdref = build_stacked_dref(ref, self.plan)
+        if self.binned:
+            self.mesh = None
+            self._step = _make_binned_step(spec.genome)
+            self._place_b = lambda arrays: arrays  # single device: plain put
+        else:
+            self.mesh = Mesh(
+                np.array(devices).reshape(spec.dp, spec.genome), ("dp", "genome")
+            )
+            (
+                self._step,
+                place_dref,
+                self._place_c,
+                self._place_b,
+            ) = make_dp_genome_step(self.mesh, routed=self.routed)
+            self.sdref = place_dref(self.sdref)
+        self._depth_fn = make_depth_reassemble(self.plan)
+        # monotonic power-of-two cell-cap floors: pin the routed batch shapes
+        # so the sharded step compiles O(log) times, not once per batch
+        denom = max(1, spec.dp * spec.genome)
+        from .io.batch import BLOCKS_PER_FRAG
+
+        self._min_caps = [
+            max(128, (cap_frags * BLOCKS_PER_FRAG) // denom),
+            max(128, cap_frags // denom),
+        ]
+        # device-stats finalize (ops/finalize_stats.py) exactly as Engine
+        self._device_stats = (
+            jax.default_backend() == "tpu"
+            or os.environ.get("IRTPU_DEVICE_STATS") == "1"
+        )
+        self._stats_interpret = jax.default_backend() != "tpu"
+        self._finref = None
+        self._finref_thread = None
+        if self._device_stats:
+            import threading
+
+            def _bg():
+                from .ops.finalize_stats import build_finalize_ref
+
+                try:
+                    self._finref = build_finalize_ref(self.ref)
+                except Exception:
+                    pass
+
+            self._finref_thread = threading.Thread(target=_bg, daemon=True)
+            self._finref_thread.start()
+
+    def _get_finref(self):
+        if self._finref_thread is not None:
+            self._finref_thread.join()
+            self._finref_thread = None
+        if self._finref is None:
+            from .ops.finalize_stats import build_finalize_ref
+
+            self._finref = build_finalize_ref(self.ref)
+        return self._finref
+
+    # -- lifecycle ------------------------------------------------------------
+    def new_state(self, n_refids: int) -> SampleState:
+        if self.binned:
+            counters = init_stacked_counters(self.sdref, n_refids, self.spec.genome)
+        else:
+            counters = self._place_c(
+                init_dp_genome_counters(
+                    self.sdref, n_refids, self.spec.dp, self.spec.genome
+                )
+            )
+        return SampleState(counters=counters, n_refids=n_refids)
+
+    # -- accumulation ----------------------------------------------------------
+    def prep_batch(self, b: PackedBatch):
+        """Host side of one batch: pad to the dp split, route by owning
+        chromosome (routed modes), reshape for the binned form, and place on
+        the mesh.  Runs on the feeder thread in run_stream."""
+        arrays = pad_batch_to_multiple(b.device_arrays(), self.spec.dp)
+        if self.routed:
+            arrays, _ = route_flat_batch(
+                self.plan,
+                arrays,
+                self.spec.dp,
+                self.spec.genome,
+                min_caps=tuple(self._min_caps),
+            )
+            G = self.spec.dp * self.spec.genome
+            self._min_caps[0] = max(self._min_caps[0], len(arrays["blk_chrom"]) // G)
+            self._min_caps[1] = max(self._min_caps[1], len(arrays["frag_chrom"]) // G)
+            if self.binned:
+                arrays = {
+                    k: v.reshape(self.spec.genome, -1) for k, v in arrays.items()
+                }
+        return jax.device_put(arrays) if self.binned else self._place_b(arrays)
+
+    def process_batch(self, b: PackedBatch, st: SampleState, placed=None) -> None:
+        t0 = time.perf_counter()
+        if placed is None:
+            placed = self.prep_batch(b)
+        st.counters = self._step(self.sdref, st.counters, placed)
+        st.metrics.device_s += time.perf_counter() - t0
+        st.metrics.batches += 1
+        if b.resume_token is not None:
+            st.resume_token = b.resume_token
+        tally_junctions(st.junc_tally, b)
+
+    def run_stream(self, batches: Iterable[PackedBatch], st: SampleState) -> None:
+        """Same feeder/consumer overlap as Engine.run_stream: decode + host
+        routing + sharded device_put on the feeder thread, step dispatch +
+        junction tally on the consumer."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        SENTINEL = object()
+        stop = threading.Event()
+
+        def feeder():
+            try:
+                for b in batches:
+                    placed = self.prep_batch(b)
+                    while not stop.is_set():
+                        try:
+                            q.put((b, placed), timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                q.put(SENTINEL)
+            except BaseException as e:
+                q.put(e)
+
+        t = threading.Thread(target=feeder, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                b, placed = item
+                self.process_batch(b, st, placed=placed)
+        finally:
+            stop.set()
+            t.join()
+
+    # -- finalize ---------------------------------------------------------------
+    def results(self, st: SampleState) -> dict:
+        """Merge over dp, reassemble over genome, join junctions, build rows
+        — the MeshEngine analog of Engine.results()."""
+        t0 = time.perf_counter()
+        per_shard = st.counters if self.binned else merge_dp(st.counters)
+        if self._device_stats:
+            # depth stays on device: reassembled there and fed straight to
+            # the fused stats program; only O(#introns) ever crosses D2H
+            depth_dev = self._depth_fn(per_shard["cnt"])  # async dispatch
+        fin = reassemble_counters(
+            self.ref,
+            self.plan,
+            per_shard,
+            st.n_refids,
+            routed=self.routed,
+            with_depth=not self._device_stats,
+        )
+        sc, ec, xc = junction_counters(self.ref, st.junc_tally)
+        stranded, flip, frac, n_inf = detect_directionality(self.ref, xc)
+        st.metrics.is_stranded = bool(stranded)
+        st.metrics.flip_strand = bool(flip)
+        st.metrics.dir_concordance = float(frac)
+        st.metrics.dir_informative = int(n_inf)
+        cache: dict = {}
+        if self._device_stats:
+            from .ops.finalize_stats import device_all_stats
+
+            cache.update(
+                device_all_stats(
+                    self.ref, self._get_finref(), depth_dev, bool(flip),
+                    interpret=self._stats_interpret,
+                )
+            )
+        fc = dict(fin)
+        fc["start_cnt"], fc["end_cnt"], fc["exact_cnt"] = sc, ec, xc
+        args = (self.ref, fc["depth"], sc, ec, xc, fc["span_hits"])
+        out = {
+            "counters": fc,
+            "rows_nondir": intron_rows(*args, mode="nondir", stats_cache=cache),
+            "rows_dir": intron_rows(
+                *args, mode="dir", flip_strand=flip, stats_cache=cache
+            ),
+            "stranded": stranded,
+            "flip_strand": flip,
+        }
+        st.metrics.finalize_s += time.perf_counter() - t0
+        return out
+
+
+def run_bam_mesh(
+    ref: CompiledRef,
+    bam,
+    out_dir: str,
+    spec: MeshSpec,
+    devices=None,
+    cap_frags: int = 1 << 15,
+    use_native: bool = True,
+    n_threads: int = 4,
+    config=None,
+) -> RunMetrics:
+    """`-m BAM --mesh ...`: count one aligner-ordered BAM through a sharded
+    mesh pipeline and write the full output table set (byte-identical to the
+    unsharded run_bam; tests/test_engine_mesh.py)."""
+    if config is not None:
+        cap_frags = config.cap_frags
+        use_native = config.use_native
+        n_threads = config.decoder_threads
+    eng = MeshEngine(ref, spec, devices=devices, cap_frags=cap_frags)
+    t0 = time.perf_counter()
+    header, batches, stats = open_decoder(ref, bam, cap_frags, use_native, n_threads)
+    st = eng.new_state(n_refids=len(header.ref_names))
+    eng.run_stream(batches, st)
+    st.metrics.decode_s = time.perf_counter() - t0 - st.metrics.device_s
+    res = eng.results(st)
+    st.metrics.reads_total = stats.reads_total
+    st.metrics.reads_admitted = stats.reads_admitted
+    st.metrics.fragments = stats.fragments
+    write_outputs(out_dir, ref, header, None, res, st=st)
+    return st.metrics

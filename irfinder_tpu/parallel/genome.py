@@ -254,7 +254,12 @@ def make_dp_genome_step(
 
 
 def route_flat_batch(
-    plan: ShardPlan, batch: dict, n_dp: int, n_g: int, lane: int = 128
+    plan: ShardPlan,
+    batch: dict,
+    n_dp: int,
+    n_g: int,
+    lane: int = 128,
+    min_caps: tuple = (0, 0),
 ) -> tuple[dict, np.ndarray]:
     """Partition a device-batch column dict by (dp chunk, owning genome
     shard) into flat columns shardable with P((dp, genome)).
@@ -262,15 +267,21 @@ def route_flat_batch(
     Rows are assigned to dp chunks contiguously (matching P(dp) slicing of
     the replicated path) and to genome shards by chromosome ownership
     (plan.bounds); pad rows (chrom < 0) are dropped.  Every (dp, g) cell is
-    padded to the max cell population (rounded to `lane`), so the flat
-    column splits evenly across the mesh.  Returns (batch dict, (n_dp, n_g)
-    fragment counts per cell)."""
+    padded to the max cell population rounded UP TO A POWER OF TWO (floored
+    by `lane` and min_caps), so a streaming pipeline sees only O(log) distinct
+    shapes — each new shape re-specializes the jitted sharded step, and
+    per-batch max-cell rounding caused one compile per batch.  min_caps:
+    (block_cap, frag_cap) floors a caller carries between batches to pin the
+    shapes monotonically.  Returns (batch dict, (n_dp, n_g) fragment counts
+    per cell)."""
     bounds = np.asarray(plan.bounds)
     blk_cols = ("blk_chrom", "blk_start", "blk_end", "blk_strand")
     frag_cols = ("frag_chrom", "frag_refid", "frag_start", "frag_end", "frag_strand")
     out: dict = {}
     counts = None
-    for cols, chrom_col in ((blk_cols, "blk_chrom"), (frag_cols, "frag_chrom")):
+    for (cols, chrom_col), min_cap in zip(
+        ((blk_cols, "blk_chrom"), (frag_cols, "frag_chrom")), min_caps
+    ):
         chrom = np.asarray(batch[chrom_col])
         B = chrom.shape[0]
         if B % n_dp:
@@ -284,7 +295,8 @@ def route_flat_batch(
         # stable order within each cell preserves read order per shard
         order = np.argsort(np.where(valid, cell, n_dp * n_g), kind="stable")
         cellcnt = np.bincount(cell[valid], minlength=n_dp * n_g)
-        cap = max(lane, int(-(-cellcnt.max() // lane) * lane))
+        cap = max(lane, int(min_cap), 1 << int(np.ceil(np.log2(max(1, int(cellcnt.max()))))))
+        cap = int(-(-cap // lane) * lane)
         n_valid = int(valid.sum())
         src = order[:n_valid]  # valid rows, grouped by cell
         cell_sorted = cell[src]
@@ -330,44 +342,74 @@ def init_stacked_counters(sdref: DeviceRef, n_refids: int, n_shards: int) -> dic
 
 def reassemble_counters(
     ref: CompiledRef, plan: ShardPlan, per_shard, n_refids: int,
-    routed: bool = False,
+    routed: bool = False, with_depth: bool = True,
 ) -> dict:
     """Host-side merge: slice each shard's flat cnt with the (uniform padded)
     layout, drop per-shard padding using the plan's real sizes, concatenate in
     chromosome order.  Produces exactly the finalize_device() output an
     unsharded run yields (tests assert integer equality).
 
-    per_shard: the merged (G, ...) counters dict ({"cnt", "chr"}); a bare
-    (G, L) cnt array is accepted for backward compatibility only when the chr
-    tally is not needed."""
+    per_shard: the merged (G, ...) counters dict ({"cnt", "chr"}).  Leaves may
+    still live on device: every section is sliced BEFORE np.asarray, so only
+    the needed bytes cross D2H.  with_depth=False skips the depth section
+    entirely (out["depth"] = None) — the device-stats finalize reassembles
+    depth on device instead (reassemble_depth_device) and the depth pull is
+    ~2.4 GB at whole-genome scale."""
     if not isinstance(per_shard, dict):
         raise TypeError("reassemble_counters now takes the counters dict")
-    stacked_cnt = np.asarray(per_shard["cnt"])
+    stacked_cnt = per_shard["cnt"]
     stacked_chr = np.asarray(per_shard["chr"])
     pads = plan.pads
     lay = CounterLayout(mbs=pads["mbs"], P=pads["point"], R=pads["roi"])
 
-    def sect2(cnt, off, w):
-        return cnt[off : off + 2 * w].reshape(2, w)
+    def sect2(i, off, w, keep):
+        return np.asarray(stacked_cnt[i, off : off + 2 * w]).reshape(2, w)[:, :keep]
 
     parts = {k: [] for k in ("depth", "span_hits", "roi_cnt")}
     for i in range(len(plan.real)):
-        cnt = np.asarray(stacked_cnt[i])
         r = plan.real[i]
-        dd = sect2(cnt, lay.off_dd, lay.mbs + 1)[:, : r["mbs"] + 1]
-        parts["depth"].append(np.cumsum(dd, axis=1)[:, :-1])
-        sp = sect2(cnt, lay.off_p, lay.P + 1)[:, : r["point"] + 1]
+        if with_depth:
+            dd = sect2(i, lay.off_dd, lay.mbs + 1, r["mbs"] + 1)
+            parts["depth"].append(np.cumsum(dd, axis=1)[:, :-1])
+        sp = sect2(i, lay.off_p, lay.P + 1, r["point"] + 1)
         parts["span_hits"].append(np.cumsum(sp, axis=1)[:, :-1])
-        parts["roi_cnt"].append(sect2(cnt, lay.off_roi, lay.R + 1)[:, : r["roi"]])
+        parts["roi_cnt"].append(sect2(i, lay.off_roi, lay.R + 1, r["roi"]))
+    if not with_depth:
+        parts.pop("depth")
     out = {k: np.concatenate(v, axis=1).astype(np.int32) for k, v in parts.items()}
+    if not with_depth:
+        out["depth"] = None
+    nf = np.asarray(stacked_cnt[:, lay.off_nf])
     if routed:
         # routed batches: each genome shard counted only its own chroms'
         # fragments — the global tallies are the per-shard sums
         out["chr_frag"] = stacked_chr.sum(axis=0)[:n_refids].astype(np.int32)
-        out["n_frags"] = stacked_cnt[:, lay.off_nf].sum().astype(np.int32)
+        out["n_frags"] = nf.sum().astype(np.int32)
     else:
         # replicated batches: every genome shard sees the full fragment
         # stream, so shard 0's dense per-refid tally is already global
         out["chr_frag"] = stacked_chr[0][:n_refids]
-        out["n_frags"] = stacked_cnt[0][lay.off_nf]
+        out["n_frags"] = nf[0]
     return out
+
+
+def make_depth_reassemble(plan: ShardPlan):
+    """Jitted device-side depth reassembly: merged (G, L) flat counters ->
+    the global (2, mbs_total) depth plane, staying ON device so the
+    device-stats finalize (ops/finalize_stats.py) never pulls it.  Bit-equal
+    to the host path in reassemble_counters (cumsum per shard over the real
+    slice, concatenated in chromosome order)."""
+    pads = plan.pads
+    lay = CounterLayout(mbs=pads["mbs"], P=pads["point"], R=pads["roi"])
+    reals = [r["mbs"] for r in plan.real]
+
+    def go(cnt):
+        parts = []
+        for i, rm in enumerate(reals):
+            dd = jax.lax.dynamic_slice_in_dim(
+                cnt[i], lay.off_dd, 2 * (lay.mbs + 1)
+            ).reshape(2, lay.mbs + 1)[:, : rm + 1]
+            parts.append(jnp.cumsum(dd, axis=1)[:, :-1])
+        return jnp.concatenate(parts, axis=1).astype(jnp.int32)
+
+    return jax.jit(go)
