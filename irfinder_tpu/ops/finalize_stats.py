@@ -11,14 +11,22 @@ every per-intron statistic ON the device and pulls only O(#introns):
   (static) run and edge-piece boundaries — per-intron sums are differences
   of prefix sums, aggregated host-side over the tiny run table.
 * exact nearest-rank percentiles: a per-intron depth histogram built by the
-  no-sort Pallas scatter (ops/scatter.hist_scatter_pallas) over the (static)
-  flattened base list, then a (n, CAP) cumsum + threshold count.  Introns
+  no-sort Pallas scatter (ops/scatter.hist_scatter_pallas) over the flattened
+  per-base MBS index list, then a (n, CAP) cumsum + threshold count.  Introns
   whose percentile saturates the CAP-bin histogram fall back to an exact
   host sort over just their bases (pulled in one batched gather).
 
-All index structure (run boundaries, edge pieces, flattened base lists,
-histogram tile offsets) depends only on the compiled reference, so it is
-built once per Engine (FinalizeRef) and reused across samples/variants.
+The flattened base lists (O(MBS) — ~300M entries x 3 subsets at whole-genome
+scale) are expanded ON DEVICE inside the jitted program from the tiny per-run
+tables via jnp.repeat(total_repeat_length=F): round 2 precomputed them on
+host (tens of seconds of np.repeat at whole-genome scale, most of the 57 s
+FinalizeRef build) and shipped them over H2D (~5 GB through the tunneled
+link, most of the 34 s stats dispatch).  Now the host builds only O(#runs)
+structure and the device expands it at HBM bandwidth.
+
+All remaining index structure (run boundaries, edge pieces, histogram tile
+offsets) depends only on the compiled reference, so it is built once per
+Engine (FinalizeRef) and reused across samples/variants.
 
 Statistics are bit-identical to the host path (tests/test_finalize_device.py
 pins them against finalize._depth_stats_vectorized).  Reference parity: this
@@ -45,12 +53,16 @@ assert TILE % CAP == 0
 
 @dataclasses.dataclass
 class _Subset:
-    """Static flattened-base structure for one intron subset."""
+    """Per-run structure for one intron subset; the per-base flat lists are
+    expanded on device inside _hist_jit (intron-major run order, so the
+    histogram updates arrive pre-grouped by tile exactly as before)."""
 
     introns: np.ndarray  # (n_sub,) intron ids
     n_bases: np.ndarray  # (n_sub,) int64 included bases per intron
-    flat_src: jnp.ndarray  # (F,) int32 MBS index of every included base
-    flat_base: jnp.ndarray  # (F,) int32 = local_intron * CAP
+    runs_start: jnp.ndarray  # (R_sub,) int32 MBS start of each subset run
+    runs_len: jnp.ndarray  # (R_sub,) int32 run length in bases
+    runs_base: jnp.ndarray  # (R_sub,) int32 = local_intron * CAP per run
+    F: int  # total flattened bases (static shape of the device expansion)
     flat_off: np.ndarray  # (n_sub+1,) int64 flat offset per local intron
     tile_offs: jnp.ndarray  # (T+1,) int32 update offsets per histogram tile
     hist_len: int  # padded histogram length (TILE multiple)
@@ -108,30 +120,30 @@ def _edge_pieces(ref: CompiledRef, n_bases: np.ndarray, run_intron: np.ndarray):
     return (*f, *l)
 
 
-def _build_subset(ref: CompiledRef, introns: np.ndarray, n_bases: np.ndarray) -> _Subset:
-    """Flatten the subset's runs into a per-base MBS index list (intron
-    order), plus histogram tile offsets (static: CAP | TILE, so each intron's
-    bins live in exactly one tile and the intron-ordered updates are already
-    tile-grouped)."""
+def _subset_runs(ref: CompiledRef, introns: np.ndarray):
+    """Run ids of the subset's introns, intron-major order (O(#runs) host
+    work).  Returns (runs, local_intron_per_run)."""
     off = ref.intron_run_off.astype(np.int64)
     counts = off[introns + 1] - off[introns]
     tot_runs = int(counts.sum())
     rep = np.repeat(np.cumsum(counts) - counts, counts)
     runs = np.repeat(off[introns], counts) + (np.arange(tot_runs, dtype=np.int64) - rep)
+    local = np.repeat(np.arange(introns.size, dtype=np.int64), counts)
+    return runs, local
+
+
+def _build_subset(ref: CompiledRef, introns: np.ndarray, n_bases: np.ndarray) -> _Subset:
+    """Per-run tables for the subset (intron-major run order) plus histogram
+    tile offsets (static: CAP | TILE, so each intron's bins live in exactly
+    one tile and the intron-ordered updates are already tile-grouped).  The
+    per-base flat lists are expanded on device in _hist_jit — the host never
+    materializes O(MBS) arrays here."""
+    runs, local = _subset_runs(ref, introns)
     lens = ref.run_len[runs].astype(np.int64)
     starts = ref.run_mbs_start[runs].astype(np.int64)
     total = int(lens.sum())
-    if total:
-        rep_off = np.repeat(np.cumsum(lens) - lens, lens)
-        pos = np.arange(total, dtype=np.int64) - rep_off
-        flat_src = (np.repeat(starts, lens) + pos).astype(np.int32)
-    else:
-        flat_src = np.zeros(0, np.int32)
     nb = n_bases[introns].astype(np.int64)
     flat_off = np.concatenate([[0], np.cumsum(nb)])
-    flat_base = np.repeat(
-        np.arange(introns.size, dtype=np.int64) * CAP, nb
-    ).astype(np.int32)
     hist_len = -(-max(introns.size, 1) * CAP // TILE) * TILE
     T = hist_len // TILE
     ipt = TILE // CAP  # introns per tile
@@ -140,13 +152,30 @@ def _build_subset(ref: CompiledRef, introns: np.ndarray, n_bases: np.ndarray) ->
     return _Subset(
         introns=introns,
         n_bases=nb,
-        flat_src=jnp.asarray(flat_src),
-        flat_base=jnp.asarray(flat_base),
+        runs_start=jnp.asarray(starts.astype(np.int32)),
+        runs_len=jnp.asarray(lens.astype(np.int32)),
+        runs_base=jnp.asarray((local * CAP).astype(np.int32)),
+        F=total,
         flat_off=flat_off,
         tile_offs=jnp.asarray(tile_offs),
         hist_len=hist_len,
         ridx=jnp.asarray(_ridx(nb)),
     )
+
+
+def _host_flat_src(ref: CompiledRef, global_introns: np.ndarray) -> np.ndarray:
+    """Host expansion of a FEW introns' included-base MBS indices (the exact
+    percentile fallback for cap-saturated introns) — same intron-major run
+    order as the device expansion."""
+    runs, _ = _subset_runs(ref, global_introns)
+    lens = ref.run_len[runs].astype(np.int64)
+    starts = ref.run_mbs_start[runs].astype(np.int64)
+    total = int(lens.sum())
+    if not total:
+        return np.zeros(0, np.int32)
+    rep_off = np.repeat(np.cumsum(lens) - lens, lens)
+    pos = np.arange(total, dtype=np.int64) - rep_off
+    return (np.repeat(starts, lens) + pos).astype(np.int32)
 
 
 #: maximum bases per device-sum piece: caps any single prefix-difference at
@@ -231,11 +260,26 @@ import functools
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_sub", "hist_len", "cap", "interpret")
+    jax.jit, static_argnames=("n_sub", "hist_len", "cap", "F", "interpret")
 )
-def _hist_jit(dsum, flat_src, flat_base, tile_offs, ridx, n_sub, hist_len, cap, interpret):
-    vals = jnp.take(dsum, flat_src)
-    hidx = flat_base + jnp.clip(vals, 0, cap - 1)
+def _hist_jit(
+    dsum, runs_start, runs_len, runs_base, tile_offs, ridx,
+    n_sub, hist_len, cap, F, interpret,
+):
+    if F:
+        # device expansion of the per-base flat lists from the per-run
+        # tables (intron-major, so updates stay tile-grouped): rid maps each
+        # flat base to its run, pos is the base's offset within the run
+        R = runs_len.shape[0]
+        off = jnp.cumsum(runs_len) - runs_len
+        rid = jnp.repeat(
+            jnp.arange(R, dtype=jnp.int32), runs_len, total_repeat_length=F
+        )
+        pos = jnp.arange(F, dtype=jnp.int32) - jnp.take(off, rid)
+        vals = jnp.take(dsum, jnp.take(runs_start, rid) + pos)
+        hidx = jnp.take(runs_base, rid) + jnp.clip(vals, 0, cap - 1)
+    else:
+        hidx = jnp.zeros(0, jnp.int32)
     hist = hist_scatter_pallas(
         jnp.zeros(hist_len, jnp.int32), hidx, tile_offs, interpret=interpret
     )
@@ -247,15 +291,15 @@ def _hist_jit(dsum, flat_src, flat_base, tile_offs, ridx, n_sub, hist_len, cap, 
             for k in range(3)
         ]
     )
-    return pk, vals
+    return pk
 
 
 def _device_hist(dsum, sub: _Subset, ridx, interpret: bool):
     """Per-intron clamped depth histogram -> nearest-rank percentile values.
-    ridx: (3, n_sub) target rank indices.  Returns (pk (3, n_sub), vals)."""
+    ridx: (3, n_sub) target rank indices.  Returns pk (3, n_sub)."""
     return _hist_jit(
-        dsum, sub.flat_src, sub.flat_base, sub.tile_offs, ridx,
-        n_sub=sub.introns.size, hist_len=sub.hist_len, cap=CAP,
+        dsum, sub.runs_start, sub.runs_len, sub.runs_base, sub.tile_offs, ridx,
+        n_sub=sub.introns.size, hist_len=sub.hist_len, cap=CAP, F=sub.F,
         interpret=interpret,
     )
 
@@ -333,16 +377,15 @@ def device_depth_stats(
         )
     )
     if sub.introns.size:
-        pk_dev, vals_dev = _device_hist(dsum_dev, sub, sub.ridx, interpret)
-        pk = np.asarray(pk_dev)
+        pk = np.asarray(_device_hist(dsum_dev, sub, sub.ridx, interpret))
     else:
         pk = np.zeros((3, 0), np.int32)
 
     def sat_vals(sat):
-        take_idx = np.concatenate(
-            [np.arange(sub.flat_off[i], sub.flat_off[i + 1]) for i in sat]
-        )
-        return np.asarray(jnp.take(vals_dev, jnp.asarray(take_idx)))
+        # rare exact-fallback path: expand just the saturated introns' base
+        # lists on host and gather their depths from the device plane
+        idx = _host_flat_src(ref, sub.introns[sat])
+        return np.asarray(jnp.take(dsum_dev, jnp.asarray(idx)))
 
     return _host_finish(ref, finref, sub, run_sum, run_nz, fw_sum, lw_sum, pk, sat_vals)
 
@@ -368,6 +411,7 @@ def _all_stats_fn(finref: FinalizeRef, interpret: bool):
 
     sizes = {k_: finref.subsets[k_].introns.size for k_ in _SUBSET_ORDER}
     hist_lens = {k_: finref.subsets[k_].hist_len for k_ in _SUBSET_ORDER}
+    Fs = {k_: finref.subsets[k_].F for k_ in _SUBSET_ORDER}
 
     def go(depth, plane_a, tables):
         # plane_a: 0/1 traced scalar — which depth plane feeds subset A
@@ -389,10 +433,11 @@ def _all_stats_fn(finref: FinalizeRef, interpret: bool):
             parts += [rs, rn, fw, lw]
             if sizes[k_]:
                 t = tables[k_]
-                pk, _ = _hist_jit(
-                    dsum, t["flat_src"], t["flat_base"], t["tile_offs"], t["ridx"],
+                pk = _hist_jit(
+                    dsum, t["runs_start"], t["runs_len"], t["runs_base"],
+                    t["tile_offs"], t["ridx"],
                     n_sub=sizes[k_], hist_len=hist_lens[k_], cap=CAP,
-                    interpret=interpret,
+                    F=Fs[k_], interpret=interpret,
                 )
                 parts.append(pk.reshape(-1))
         return jnp.concatenate([p.reshape(-1).astype(jnp.int32) for p in parts])
@@ -411,7 +456,8 @@ def _stats_tables(finref: FinalizeRef) -> dict:
     for k_ in _SUBSET_ORDER:
         sub = finref.subsets[k_]
         t[k_] = {
-            "flat_src": sub.flat_src, "flat_base": sub.flat_base,
+            "runs_start": sub.runs_start, "runs_len": sub.runs_len,
+            "runs_base": sub.runs_base,
             "tile_offs": sub.tile_offs, "ridx": sub.ridx,
         }
     return t
@@ -492,18 +538,15 @@ def _unpack_all_stats(
             pk = np.zeros((3, 0), np.int32)
 
         def sat_vals(sat, k_=k_, sub=sub):
-            # rare exact-fallback path: recompute the variant's dsum and pull
-            # just the saturated introns' bases
+            # rare exact-fallback path: recompute the variant's dsum, expand
+            # just the saturated introns' base lists on host, and pull them
             if k_ == "both":
                 dsum = _dsum_both_jit(depth_dev)
             else:
                 pl_ = plane_a if k_ == "A" else 1 - plane_a
                 dsum = depth_dev[pl_]
-            take_idx = np.concatenate(
-                [np.arange(sub.flat_off[i], sub.flat_off[i + 1]) for i in sat]
-            )
-            flat = jnp.take(jnp.asarray(sub.flat_src), jnp.asarray(take_idx))
-            return np.asarray(jnp.take(dsum, flat))
+            idx = _host_flat_src(ref, sub.introns[sat])
+            return np.asarray(jnp.take(dsum, jnp.asarray(idx)))
 
         variant = 2 if k_ == "both" else (plane_a if k_ == "A" else 1 - plane_a)
         out[variant] = _host_finish(
