@@ -11,6 +11,11 @@ snapshot overhead at whole-genome counter size.
   python bench/config_c.py                 # full: 25M pairs (~50.7M records)
   CONFIG_C_PAIRS=1000000 python bench/config_c.py   # scaled-down shakeout
   CONFIG_C_CHECKPOINT=1 python bench/config_c.py    # + snapshot timing
+  CONFIG_C_MESH=genome=4 python bench/config_c.py   # single-chip binned mesh
+                                           # (per-bin tables small enough for
+                                           # the Pallas rank kernel; the
+                                           # unsharded whole-genome table
+                                           # falls back to the XLA path)
 """
 
 from __future__ import annotations
@@ -62,8 +67,14 @@ def main() -> None:
 
     out = os.path.join(CACHE, "configC_out")
     ckpt = os.path.join(CACHE, "configC.ckpt") if os.environ.get("CONFIG_C_CHECKPOINT") else None
+    mesh = os.environ.get("CONFIG_C_MESH")
     t0 = time.perf_counter()
-    metrics = run_bam(ref, bam, out, checkpoint=ckpt, checkpoint_every=64)
+    if mesh:
+        from irfinder_tpu.engine_mesh import MeshSpec, run_bam_mesh
+
+        metrics = run_bam_mesh(ref, bam, out, MeshSpec.parse(mesh))
+    else:
+        metrics = run_bam(ref, bam, out, checkpoint=ckpt, checkpoint_every=64)
     dt = time.perf_counter() - t0
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(
@@ -81,6 +92,7 @@ def main() -> None:
                 "n_introns": ref.n_introns,
                 "mbs": ref.mbs_size,
                 "checkpointed": bool(ckpt),
+                "mesh": mesh or "",
             }
         )
     )

@@ -376,6 +376,12 @@ def cmd_diff(args) -> int:
     )
 
 
+def cmd_goldens(args) -> int:
+    from .goldens import check
+
+    return 1 if check(args.ours, args.golden, record=args.record) else 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="irfinder-tpu", description=__doc__)
     sub = p.add_subparsers(dest="mode", required=True)
@@ -418,6 +424,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="sharded counting: dp=N,genome=G[,routed] — read stream over N "
         "devices x intron map over G shards (genome=G with one device runs "
         "the single-chip binned form); outputs byte-identical to unsharded",
+    )
+    c.add_argument(
+        "--long-reads", dest="long_reads", action="store_true",
+        help="widen batch block/gap columns for many-block single-end "
+        "alignments (ONT/PacBio full-length transcripts); identical counting "
+        "semantics, rebalanced batch shapes (late-reference long-read mode)",
     )
     c.set_defaults(fn=cmd_bam)
 
@@ -506,6 +518,19 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("-d", "--out", required=True, help="output differential table path")
     d.add_argument("--min-cov", type=float, default=None, help="min intron depth filter")
     d.set_defaults(fn=cmd_diff)
+
+    go = sub.add_parser(
+        "Goldens",
+        help="byte-compare a result dir against reference golden outputs; "
+        "mismatches are localized to (table, line, column) and mapped to the "
+        "semantics constants to re-derive (docs/GOLDEN_PINNING.md)",
+    )
+    go.add_argument("ours", help="our output directory (from BAM mode)")
+    go.add_argument("golden", help="reference golden output directory")
+    go.add_argument(
+        "--record", help="write a JSON pinning record (verdicts + live overrides)"
+    )
+    go.set_defaults(fn=cmd_goldens)
     return p
 
 

@@ -27,6 +27,11 @@ class RunConfig:
     checkpoint_every: int = 64
     #: jax.profiler trace directory (None = no tracing)
     profile_dir: str | None = None
+    #: widen the batch block/gap columns for many-block single-end
+    #: alignments (ONT/PacBio full-length transcripts).  Semantics are
+    #: identical either way — long CIGARs always decode fully; this only
+    #: rebalances the fixed batch shapes (io/batch.py LONGREAD_*)
+    long_reads: bool = False
 
     @classmethod
     def from_args(cls, args) -> "RunConfig":

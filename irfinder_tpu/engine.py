@@ -447,11 +447,24 @@ def open_decoder(
     use_native: bool = True,
     n_threads: int = 4,
     resume_token: bytes | None = None,
+    long_reads: bool = False,
 ):
     """Pick the decoder: the multithreaded native C++ decoder for file paths
     (SURVEY.md §2 row 7), the pure-Python decoder for file objects or when the
     native toolchain is unavailable.  Both emit identical batch streams
-    (tests/test_bamdecode.py) and accept each other's resume tokens."""
+    (tests/test_bamdecode.py) and accept each other's resume tokens.
+
+    long_reads widens the batch block/gap columns for many-block single-end
+    alignments (ONT/PacBio full-length transcripts; io/batch.py LONGREAD_*).
+    Counting semantics are identical either way — long CIGARs always decode
+    fully; the flag only rebalances the fixed batch shapes."""
+    from .io.batch import (
+        BLOCKS_PER_FRAG, GAPS_PER_FRAG,
+        LONGREAD_BLOCKS_PER_FRAG, LONGREAD_GAPS_PER_FRAG,
+    )
+
+    bpf = LONGREAD_BLOCKS_PER_FRAG if long_reads else BLOCKS_PER_FRAG
+    gpf = LONGREAD_GAPS_PER_FRAG if long_reads else GAPS_PER_FRAG
     chrom_index = {c: i for i, c in enumerate(ref.chroms)}
     if isinstance(bam, (str, os.PathLike)):
         if use_native:
@@ -461,11 +474,15 @@ def open_decoder(
                 return decode_bam_native(
                     str(bam), chrom_index, cap_frags=cap_frags,
                     n_threads=n_threads, resume_token=resume_token,
+                    blocks_per_frag=bpf, gaps_per_frag=gpf,
                 )
             except (RuntimeError, OSError, AssertionError):
                 pass  # no toolchain / build failure: fall through to Python
         bam = open(bam, "rb")
-    return decode_bam(bam, chrom_index, cap_frags=cap_frags, resume_token=resume_token)
+    return decode_bam(
+        bam, chrom_index, cap_frags=cap_frags, resume_token=resume_token,
+        blocks_per_frag=bpf, gaps_per_frag=gpf,
+    )
 
 
 def run_bam(
@@ -491,12 +508,14 @@ def run_bam(
     keyword knobs when given — the single configuration surface of
     SURVEY.md §5.6."""
     n_threads = 4
+    long_reads = False
     if config is not None:
         cap_frags = config.cap_frags
         use_native = config.use_native
         checkpoint = config.checkpoint
         checkpoint_every = config.checkpoint_every
         n_threads = config.decoder_threads
+        long_reads = config.long_reads
     engine = Engine(ref, cap_frags=cap_frags)
     t0 = time.perf_counter()
     if checkpoint:
@@ -507,7 +526,8 @@ def run_bam(
         token = ck[4] if ck is not None else None
         skip = 0
         header, batches, stats = open_decoder(
-            ref, bam, cap_frags, use_native, n_threads, resume_token=token
+            ref, bam, cap_frags, use_native, n_threads, resume_token=token,
+            long_reads=long_reads,
         )
         if ck is not None:
             engine._st = restore_state(engine, ck)
@@ -542,7 +562,9 @@ def run_bam(
         # synchronous fallback loop here)
         engine.run_stream(batches, on_batch=maybe_snapshot, skip=skip)
     else:
-        header, batches, stats = open_decoder(ref, bam, cap_frags, use_native, n_threads)
+        header, batches, stats = open_decoder(
+            ref, bam, cap_frags, use_native, n_threads, long_reads=long_reads
+        )
         engine.reset(n_refids=len(header.ref_names))
         engine.run_stream(batches)
     engine.metrics.decode_s = (

@@ -102,8 +102,15 @@ def compare_table(ours_path: str, gold_path: str) -> dict:
     }
 
 
-def check(ours_dir: str, golden_dir: str) -> int:
-    """Compare all known tables present in both dirs; returns #mismatches."""
+def check(ours_dir: str, golden_dir: str, record: str | None = None) -> int:
+    """Compare all known tables present in both dirs; returns #mismatches.
+
+    With `record`, writes a JSON pinning record: per-table verdicts, the
+    localized first divergence + suspect constants for each mismatch, and the
+    semantics overrides that were live during the comparison run — the
+    artifact to commit next to semantics.py the day real goldens are pinned
+    (SURVEY.md §0 verification protocol)."""
+    results = []
     bad = 0
     for name in COLUMN_KNOBS:
         a = os.path.join(ours_dir, name)
@@ -112,9 +119,11 @@ def check(ours_dir: str, golden_dir: str) -> int:
             continue
         if not os.path.exists(a):
             print(f"{name}: MISSING from ours")
+            results.append({"table": name, "match": False, "missing": "ours"})
             bad += 1
             continue
         r = compare_table(a, b)
+        results.append(r)
         if r["match"]:
             print(f"{name}: MATCH (byte-identical)")
         else:
@@ -125,15 +134,42 @@ def check(ours_dir: str, golden_dir: str) -> int:
             )
             if r["suspect_constants"]:
                 print(f"  -> re-derive semantics constants: {', '.join(r['suspect_constants'])}")
+    if record:
+        import datetime
+        import json
+
+        from . import semantics as S
+
+        with open(record, "w") as fh:
+            json.dump(
+                {
+                    "when": datetime.datetime.now().isoformat(timespec="seconds"),
+                    "ours": os.path.abspath(ours_dir),
+                    "golden": os.path.abspath(golden_dir),
+                    "mismatches": bad,
+                    "tables": results,
+                    "semantics_overrides": S.SEMANTICS_OVERRIDES,
+                    "pinned": bad == 0,
+                },
+                fh,
+                indent=1,
+            )
     return bad
 
 
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
+    record = None
+    if "--record" in argv:
+        i = argv.index("--record")
+        record = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     if len(argv) != 2:
-        sys.stderr.write("usage: python -m irfinder_tpu.goldens OURS_DIR GOLDEN_DIR\n")
+        sys.stderr.write(
+            "usage: python -m irfinder_tpu.goldens OURS_DIR GOLDEN_DIR [--record OUT.json]\n"
+        )
         return 2
-    return 1 if check(argv[0], argv[1]) else 0
+    return 1 if check(argv[0], argv[1], record=record) else 0
 
 
 if __name__ == "__main__":

@@ -294,17 +294,7 @@ def write_realistic_bam(
     Generation is chunked (bounded memory) and BGZF-compressed at a fast
     level — the file is benchmark INPUT; its compression ratio only needs to
     be BAM-like, not archival."""
-    import struct
-
-    lengths = _chrom_lengths(ref)
-    header = b"BAM\x01"
-    text = b"@HD\tVN:1.6\tSO:unsorted\n"
-    header += struct.pack("<i", len(text)) + text
-    header += struct.pack("<i", len(ref.chroms))
-    for nm, ln in zip(ref.chroms, lengths):
-        b = nm.encode() + b"\0"
-        header += struct.pack("<i", len(b)) + b + struct.pack("<i", int(ln))
-
+    header = _bam_header(ref)
     totals = MixStats(0, 0, 0, 0, 0)
     with open(path, "wb") as fh:
         first = True
@@ -334,3 +324,124 @@ def _chrom_lengths(ref) -> list:
     if ref.n_introns:
         np.maximum.at(ends, ref.intron_chrom.astype(np.int64), ref.intron_end)
     return [int(e) + 1_000_000 for e in ends]
+
+
+def _bam_header(ref) -> bytes:
+    import struct
+
+    lengths = _chrom_lengths(ref)
+    header = b"BAM\x01"
+    text = b"@HD\tVN:1.6\tSO:unsorted\n"
+    header += struct.pack("<i", len(text)) + text
+    header += struct.pack("<i", len(ref.chroms))
+    for nm, ln in zip(ref.chroms, lengths):
+        b = nm.encode() + b"\0"
+        header += struct.pack("<i", len(b)) + b + struct.pack("<i", int(ln))
+    return header
+
+
+# ---------------------------------------------------------------------------
+# long-read (ONT/PacBio full-length transcript) stream — SURVEY.md §2 row 1's
+# late-reference long-read mode [R:verify]; exercised by --long-reads
+# ---------------------------------------------------------------------------
+
+#: exon blocks per long-read class (CIGAR = nb M-ops interleaved with nb-1
+#: N-gaps); spans run ~10-100 kb at ~100 bp exons and ~0.2-3 kb gaps
+_LR_BLOCKS = (16, 48, 96)
+
+
+def longread_stream(
+    ref,
+    n_reads: int,
+    seed: int = 0,
+    pid_offset: int = 0,
+    exact_junction_frac: float = 0.5,
+) -> tuple[bytes, MixStats]:
+    """Single-end many-gap records: each read is a full-length transcript
+    alignment with 16/48/96 exon blocks.  The FIRST gap of
+    `exact_junction_frac` of the reads lands exactly on the anchor intron
+    (SpliceExact); every other gap is drawn from a small novel-junction pool
+    (matching realistic_stream's bounded unique-key model)."""
+    rng = np.random.default_rng(seed)
+    ii = rng.integers(0, ref.n_introns, n_reads)
+    chrom = ref.intron_chrom[ii].astype(np.int32)
+    istart = ref.intron_start[ii].astype(np.int64)
+    iend = ref.intron_end[ii].astype(np.int64)
+    ilen = np.clip(iend - istart, 4, None)
+    cls = rng.integers(0, len(_LR_BLOCKS), n_reads)
+    exact = rng.random(n_reads) < exact_junction_frac
+    first_gap = np.where(exact, ilen, np.array([211, 1531], np.int64)[rng.integers(0, 2, n_reads)])
+    pos = np.clip(istart - 100, 0, None).astype(np.int64)
+    rev = rng.integers(0, 2, n_reads).astype(np.uint16)
+    pids = np.arange(pid_offset, pid_offset + n_reads, dtype=np.int64)
+
+    widths = np.array([_rec_dtype(2 * nb - 1).itemsize for nb in _LR_BLOCKS], np.int64)
+    w = widths[cls]
+    offsets = np.zeros(n_reads, np.int64)
+    np.cumsum(w[:-1], out=offsets[1:])
+    total = int(offsets[-1] + w[-1]) if n_reads else 0
+    out = np.zeros(total, np.uint8)
+    gap_pool = np.array([223, 487, 911, 2897], np.uint32)
+    for c, nb in enumerate(_LR_BLOCKS):
+        idx = np.flatnonzero(cls == c)
+        if idx.size == 0:
+            continue
+        n_ops = 2 * nb - 1
+        dt = _rec_dtype(n_ops)
+        arr = np.zeros(idx.size, dt)
+        arr["block_size"] = dt.itemsize - 4
+        arr["ref_id"] = chrom[idx]
+        arr["pos"] = pos[idx]
+        arr["l_read_name"] = _NAME_LEN
+        arr["mapq"] = 60
+        arr["n_cigar"] = n_ops
+        arr["flag"] = rev[idx] * 0x10
+        arr["next_ref"] = -1
+        arr["next_pos"] = -1
+        arr["name"] = _names(pids[idx])
+        cig = arr["cigar"]
+        cig[:, 0::2] = (100 << 4) | _M
+        gaps = gap_pool[rng.integers(0, len(gap_pool), (idx.size, nb - 1))]
+        gaps[:, 0] = first_gap[idx].astype(np.uint32)
+        cig[:, 1::2] = (gaps << 4) | _N
+        rows = arr.view(np.uint8).reshape(idx.size, dt.itemsize)
+        step = max(1, (1 << 23) // dt.itemsize)
+        for lo in range(0, idx.size, step):
+            sl = slice(lo, lo + step)
+            tgt = offsets[idx[sl], None] + np.arange(dt.itemsize)[None, :]
+            out[tgt] = rows[sl]
+    stats = MixStats(
+        n_records=n_reads, n_pairs=0, n_secondary=0, n_low_mapq=0,
+        n_spliced=n_reads,
+    )
+    return out.tobytes(), stats
+
+
+def write_longread_bam(
+    path: str,
+    ref,
+    n_reads: int,
+    seed: int = 0,
+    compress_level: int = 1,
+    chunk_reads: int = 1 << 18,
+    **kw,
+) -> MixStats:
+    """Generate and write an ONT/PacBio-shaped long-read BAM (single-end,
+    many-gap CIGARs, 10-100 kb spans) against a CompiledRef."""
+    header = _bam_header(ref)
+    totals = MixStats(0, 0, 0, 0, 0)
+    with open(path, "wb") as fh:
+        first = True
+        for lo in range(0, n_reads, chunk_reads):
+            n = min(chunk_reads, n_reads - lo)
+            payload, st = longread_stream(ref, n, seed=seed + lo, pid_offset=lo, **kw)
+            if first:
+                payload = header + payload
+                first = False
+            bgzf.write_payload(fh, payload, level=compress_level)
+            totals.n_records += st.n_records
+            totals.n_spliced += st.n_spliced
+        if first:
+            bgzf.write_payload(fh, header, level=compress_level)
+        bgzf.close(fh)
+    return totals

@@ -168,11 +168,18 @@ class BatchBuilder:
     """Accumulates fragments into fixed-capacity PackedBatches; fragments never
     split across batches (mate-pair carry-over, SURVEY.md §7.3 item 4)."""
 
-    def __init__(self, chrom_of_refid: np.ndarray, cap_frags: int = 1 << 15):
-        # sized so typical paired fragments (<=2 blocks+<=1 gap per mate) fit
+    def __init__(
+        self,
+        chrom_of_refid: np.ndarray,
+        cap_frags: int = 1 << 15,
+        blocks_per_frag: int = BLOCKS_PER_FRAG,
+        gaps_per_frag: int = GAPS_PER_FRAG,
+    ):
+        # sized so typical paired fragments (<=2 blocks+<=1 gap per mate) fit;
+        # long-read streams pass the LONGREAD_* geometry (io/batch.py)
         self.cap_frags = cap_frags
-        self.cap_blocks = max(cap_frags * BLOCKS_PER_FRAG, MIN_CAP_UNITS)
-        self.cap_gaps = max(cap_frags * GAPS_PER_FRAG, MIN_CAP_UNITS)
+        self.cap_blocks = max(cap_frags * blocks_per_frag, MIN_CAP_UNITS)
+        self.cap_gaps = max(cap_frags * gaps_per_frag, MIN_CAP_UNITS)
         self.chrom_of_refid = chrom_of_refid  # int32 LUT, -1 = not in ref
         self.reset()
 
@@ -422,6 +429,8 @@ def decode_bam(
     chrom_index: dict,
     cap_frags: int = 1 << 15,
     resume_token: bytes | None = None,
+    blocks_per_frag: int = BLOCKS_PER_FRAG,
+    gaps_per_frag: int = GAPS_PER_FRAG,
 ) -> tuple[BamHeader, Iterator[PackedBatch], DecodeStats]:
     """Stream a BAM file into PackedBatches, incrementally: memory stays
     O(one BGZF block + one batch), and the first batch is emitted as soon as
@@ -442,7 +451,10 @@ def decode_bam(
     stats = DecodeStats()
 
     def gen() -> Iterator[PackedBatch]:
-        builder = BatchBuilder(lut, cap_frags=cap_frags)
+        builder = BatchBuilder(
+            lut, cap_frags=cap_frags,
+            blocks_per_frag=blocks_per_frag, gaps_per_frag=gaps_per_frag,
+        )
         asm = FragmentAssembler()
         if resume_token is not None:
             offset, pending, carry, st0 = parse_resume_token(resume_token)

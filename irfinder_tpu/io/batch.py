@@ -25,6 +25,15 @@ import numpy as np
 #: trade padding waste (device work on dead lanes) against batch count.
 BLOCKS_PER_FRAG = 3
 GAPS_PER_FRAG = 1
+#: Long-read batch geometry (--long-reads): full-length transcript
+#: alignments (ONT/PacBio) carry one block per exon — tens of blocks and
+#: gaps per fragment, single-end.  With the paired-end ratios above such a
+#: stream flushes batches on the block column at ~cap_frags/20 fragments,
+#: leaving the frag columns ~95% padding; these ratios rebalance the fixed
+#: shapes.  Counting semantics are identical under any geometry (batches
+#: are add-associative) — this is purely a padding/throughput knob.
+LONGREAD_BLOCKS_PER_FRAG = 64
+LONGREAD_GAPS_PER_FRAG = 64
 #: Floor on the block/gap column capacities, independent of cap_frags: one
 #: fragment must always fit a single batch (mate carry-over, SURVEY.md §7.3
 #: item 4).  4096 aligned blocks per fragment covers any real alignment

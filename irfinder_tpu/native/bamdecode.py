@@ -51,6 +51,10 @@ def load_library():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_char_p, ctypes.c_int64,
     ]
+    lib.bd_open_ex2.restype = ctypes.c_void_p
+    lib.bd_open_ex2.argtypes = lib.bd_open_ex.argtypes + [
+        ctypes.c_int64, ctypes.c_int64,
+    ]
     lib.bd_token.restype = ctypes.c_int64
     lib.bd_token.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
     lib.bd_error.restype = ctypes.c_char_p
@@ -82,6 +86,8 @@ def decode_bam_native(
     cap_frags: int = 1 << 15,
     n_threads: int | None = None,
     resume_token: bytes | None = None,
+    blocks_per_frag: int = 3,
+    gaps_per_frag: int = 1,
 ):
     """Native analog of io.bampy.decode_bam, file-path based.
 
@@ -90,14 +96,18 @@ def decode_bam_native(
     `resume_token` (shared binary format with the Python decoder) that
     reproduces the remaining stream via `resume_token=`: the decoder seeks
     to the recorded logical offset by BGZF block arithmetic — resume cost is
-    independent of position in the BAM (SURVEY.md §5.4)."""
+    independent of position in the BAM (SURVEY.md §5.4).
+
+    blocks_per_frag / gaps_per_frag set the batch column geometry
+    (io/batch.py BLOCKS_PER_FRAG or the LONGREAD_* values for --long-reads)."""
     lib = load_library()
     if n_threads is None:
         n_threads = min(8, os.cpu_count() or 4)
-    h = lib.bd_open_ex(
+    h = lib.bd_open_ex2(
         path.encode(), cap_frags, n_threads,
         S.FLAG_DROP_MASK, S.MIN_MAPQ, S.MIN_GAP_AS_JUNCTION,
         resume_token, len(resume_token) if resume_token else 0,
+        blocks_per_frag, gaps_per_frag,
     )
     err = lib.bd_error(h)
     if err:

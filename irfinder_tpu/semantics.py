@@ -51,11 +51,13 @@ MIN_MAPQ = 5
 #: follow/precede it contiguously is processed as a single-end fragment.
 PAIR_BY_ADJACENCY = True
 
-#: Maximum aligned blocks retained per fragment on the device fast path.
-#: Fragments with more blocks are routed to the host slow path (rare;
-#: SURVEY.md §7.3 item 5).  This is an implementation limit, not reference
-#: semantics — results are identical either way.
-MAX_BLOCKS_FAST = 16
+#: There is NO per-fragment block limit in the counting model: the flat
+#: columnar batch layout (io/batch.py) admits any CIGAR, and the per-batch
+#: block-column floor (MIN_CAP_UNITS = 4096) guarantees a single fragment —
+#: even an ONT/PacBio full-length transcript alignment — always fits one
+#: batch (tests/test_longread.py).  --long-reads only rebalances batch
+#: geometry for throughput; semantics are identical (SURVEY.md §7.3 item 5's
+#: anticipated "slow path" proved unnecessary).
 
 #: If the two mates overlap, overlapping bases receive depth from BOTH mates
 #: (the reference iterates each mate's blocks independently through every

@@ -75,12 +75,13 @@ struct BatchBuf {
   int64_t n_blocks = 0, n_gaps = 0, n_frags = 0, n_reads = 0;
   int64_t cap_blocks = 0, cap_gaps = 0, cap_frags = 0;
 
-  void init(int64_t cap) {
+  void init(int64_t cap, int64_t bpf, int64_t gpf) {
     cap_frags = cap;
-    // io/batch.py BLOCKS_PER_FRAG / GAPS_PER_FRAG, floored at MIN_CAP_UNITS
-    // so one fragment (even a long-read spliced alignment) always fits
-    cap_blocks = std::max<int64_t>(cap * 3, 4096);
-    cap_gaps = std::max<int64_t>(cap * 1, 4096);
+    // io/batch.py BLOCKS_PER_FRAG / GAPS_PER_FRAG (or the LONGREAD_*
+    // geometry via bd_open_ex2), floored at MIN_CAP_UNITS so one fragment
+    // (even a long-read spliced alignment) always fits
+    cap_blocks = std::max<int64_t>(cap * bpf, 4096);
+    cap_gaps = std::max<int64_t>(cap * gpf, 4096);
     blk_chrom.assign(cap_blocks, -1);
     blk_start.assign(cap_blocks, 0);
     blk_end.assign(cap_blocks, 0);
@@ -120,7 +121,8 @@ class Decoder {
 
   bool open(const char* path, int64_t cap_frags, int n_threads,
             int32_t drop_mask, int32_t min_mapq, int32_t min_gap,
-            const uint8_t* token, int64_t token_len) {
+            const uint8_t* token, int64_t token_len,
+            int64_t blocks_per_frag = 3, int64_t gaps_per_frag = 1) {
     drop_mask_ = drop_mask;
     min_mapq_ = min_mapq;
     min_gap_ = min_gap;
@@ -134,7 +136,7 @@ class Decoder {
     if (map_ == MAP_FAILED) return fail("mmap failed");
     if (!scan_blocks()) return false;
     for (auto& s : slots_) s.data.resize(1 << 16);
-    cur_.init(cap_frags);
+    cur_.init(cap_frags, blocks_per_frag, gaps_per_frag);
     // header parse runs in synchronous mode (ensure() inflates inline while
     // workers_ is empty) so a resume can reposition the pipeline BEFORE any
     // worker starts racing ahead of the target block
@@ -690,15 +692,26 @@ typedef struct {
   int64_t cap_blocks, cap_gaps, cap_frags;
 } BdBatchView;
 
-void* bd_open_ex(const char* path, int64_t cap_frags, int n_threads,
-                 int32_t flag_drop_mask, int32_t min_mapq, int32_t min_gap,
-                 const uint8_t* token, int64_t token_len) {
+// bd_open_ex2: bd_open_ex plus explicit batch geometry (blocks/gaps column
+// capacity as multiples of cap_frags — io/batch.py BLOCKS_PER_FRAG or the
+// LONGREAD_* geometry for many-block single-end alignments)
+void* bd_open_ex2(const char* path, int64_t cap_frags, int n_threads,
+                  int32_t flag_drop_mask, int32_t min_mapq, int32_t min_gap,
+                  const uint8_t* token, int64_t token_len,
+                  int64_t blocks_per_frag, int64_t gaps_per_frag) {
   auto* d = new Decoder();
   if (!d->open(path, cap_frags, n_threads, flag_drop_mask, min_mapq, min_gap,
-               token, token_len)) {
+               token, token_len, blocks_per_frag, gaps_per_frag)) {
     // keep handle so the error is retrievable; caller must bd_close
   }
   return d;
+}
+
+void* bd_open_ex(const char* path, int64_t cap_frags, int n_threads,
+                 int32_t flag_drop_mask, int32_t min_mapq, int32_t min_gap,
+                 const uint8_t* token, int64_t token_len) {
+  return bd_open_ex2(path, cap_frags, n_threads, flag_drop_mask, min_mapq,
+                     min_gap, token, token_len, 3, 1);
 }
 
 void* bd_open(const char* path, int64_t cap_frags, int n_threads) {

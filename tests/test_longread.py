@@ -86,3 +86,43 @@ def test_longread_native_parity(tmp_path):
     for a, b in zip(py, nat):
         for k in ("blk_chrom", "blk_start", "blk_end", "gap_start", "gap_end"):
             assert np.array_equal(getattr(a, k), getattr(b, k)), k
+
+
+def test_longread_surface_cli_geometry(tmp_path):
+    """--long-reads (RunConfig.long_reads) on an ONT/PacBio-shaped BAM
+    (io/bamgen.write_longread_bam: 16-96 exon blocks, 10-100kb spans):
+    geometry-rebalanced batches through the NATIVE decoder (bd_open_ex2),
+    tables byte-identical to the default-geometry run."""
+    import filecmp
+    import os
+
+    from irfinder_tpu.config import RunConfig
+    from irfinder_tpu.engine import open_decoder, run_bam
+    from irfinder_tpu.io.bamgen import write_longread_bam
+    from irfinder_tpu.io.batch import LONGREAD_BLOCKS_PER_FRAG
+
+    ref = synth_ref(n_genes=300, n_chroms=3, chrom_len=50_000_000, seed=2)
+    bam = str(tmp_path / "ont.bam")
+    st = write_longread_bam(bam, ref, n_reads=2500, seed=4)
+    assert st.n_records == 2500
+
+    # geometry assertion on the decoder surface (native path)
+    _, batches, _ = open_decoder(ref, bam, cap_frags=256, long_reads=True)
+    first = next(iter(batches))
+    assert first.cap_blocks >= 256 * LONGREAD_BLOCKS_PER_FRAG
+    assert first.n_blocks > first.n_frags * 10, "many blocks per fragment"
+
+    out0 = str(tmp_path / "default")
+    out1 = str(tmp_path / "longreads")
+    m0 = run_bam(ref, bam, out0, cap_frags=2048)
+    m1 = run_bam(ref, bam, out1, config=RunConfig(cap_frags=2048, long_reads=True))
+    assert m1.fragments == m0.fragments == 2500
+    assert m1.batches < m0.batches, "wider blocks columns -> fewer batches"
+    for t in (
+        "IRFinder-IR-nondir.txt", "IRFinder-IR-dir.txt",
+        "IRFinder-JuncCount.txt", "IRFinder-SpansPoint.txt",
+        "IRFinder-ROI.txt", "IRFinder-ChrCoverage.txt",
+    ):
+        assert filecmp.cmp(
+            os.path.join(out0, t), os.path.join(out1, t), shallow=False
+        ), t
