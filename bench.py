@@ -86,6 +86,20 @@ def _oracle_reads_per_s(ref, bam: str) -> float:
         return 0.0
 
 
+def _decode_only_reads_per_s(ref, bam: str) -> float:
+    """Drain the native decoder with NO counting: the host-ceiling number —
+    decode is the one serially-required host stage, so e2e reads/s cannot
+    exceed this on the same box (BASELINE.md host-ceiling decomposition)."""
+    from irfinder_tpu.engine import open_decoder
+
+    _, batches, stats = open_decoder(ref, bam, use_native=True)
+    t0 = time.perf_counter()
+    for _ in batches:
+        pass
+    dt = time.perf_counter() - t0
+    return stats.reads_total / dt if dt > 0 else 0.0
+
+
 def bench_e2e() -> None:
     _jax()
     import shutil
@@ -113,6 +127,14 @@ def bench_e2e() -> None:
     reads_per_s = metrics.reads_total / dt
 
     baseline = _oracle_reads_per_s(ref, warm_bam)
+    decode_only = _decode_only_reads_per_s(ref, bam)
+    # the oracle measured the SAME way as our e2e (it must pay decode too):
+    # serial decode + serial count on one thread
+    oracle_e2e = (
+        1.0 / (1.0 / baseline + 1.0 / decode_only)
+        if baseline and decode_only
+        else 0.0
+    )
     step = bench_step(ref=ref, quiet=True)
     print(
         json.dumps(
@@ -127,6 +149,10 @@ def bench_e2e() -> None:
                 "device_s": round(metrics.device_s, 3),
                 "finalize_s": round(metrics.finalize_s, 3),
                 "oracle_reads_per_s": round(baseline, 1),
+                "oracle_e2e_reads_per_s": round(oracle_e2e, 1),
+                "vs_oracle_e2e": round(reads_per_s / oracle_e2e, 2) if oracle_e2e else 0.0,
+                "decode_only_reads_per_s": round(decode_only, 1),
+                "host_ceiling_fraction": round(reads_per_s / decode_only, 3) if decode_only else 0.0,
                 "step_reads_per_s": round(step, 1),
                 "read_mix": "30% spliced / 10% softclip / mapq+dup+secondary",
             }

@@ -80,8 +80,6 @@ def cmd_bam(args) -> int:
             # byte-identical to the unsharded path (engine_mesh.py)
             from .engine_mesh import MeshSpec, run_bam_mesh
 
-            if cfg.checkpoint:
-                raise SystemExit("--checkpoint is not supported with --mesh yet")
             m = run_bam_mesh(ref, args.bam, args.out, MeshSpec.parse(args.mesh), config=cfg)
         else:
             m = run_bam(ref, args.bam, args.out, config=cfg)

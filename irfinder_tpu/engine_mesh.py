@@ -219,6 +219,34 @@ class MeshEngine:
             )
         return SampleState(counters=counters, n_refids=n_refids)
 
+    def restore_state(self, ckpt) -> SampleState:
+        """checkpoint.load_checkpoint tuple -> SampleState with the stacked
+        counters re-placed on this mesh (the mesh analog of
+        checkpoint.restore_state; snapshots are host ndarrays either way, so
+        a snapshot written under one MeshSpec resumes only under the same
+        spec — the stacked shapes encode it)."""
+        import jax.numpy as jnp
+
+        (cnt, chrn), tally, batches_done, n_refids = ckpt[:4]
+        token = ckpt[4] if len(ckpt) > 4 else None
+        st = self.new_state(n_refids=n_refids)
+        want = {k: tuple(v.shape) for k, v in st.counters.items()}
+        got = {"cnt": tuple(cnt.shape), "chr": tuple(chrn.shape)}
+        if want != got:
+            raise ValueError(
+                f"mesh checkpoint shape mismatch (snapshot written under a "
+                f"different --mesh or reference?): {got} vs {want}"
+            )
+        counters = {"cnt": cnt, "chr": chrn}
+        if self.binned:
+            st.counters = {k: jnp.asarray(v) for k, v in counters.items()}
+        else:
+            st.counters = self._place_c(counters)
+        st.junc_tally = tally
+        st.metrics.batches = batches_done
+        st.resume_token = token
+        return st
+
     # -- accumulation ----------------------------------------------------------
     def prep_batch(self, b: PackedBatch):
         """Host side of one batch: pad to the dp split, route by owning
@@ -253,10 +281,13 @@ class MeshEngine:
             st.resume_token = b.resume_token
         tally_junctions(st.junc_tally, b)
 
-    def run_stream(self, batches: Iterable[PackedBatch], st: SampleState) -> None:
+    def run_stream(
+        self, batches: Iterable[PackedBatch], st: SampleState, on_batch=None
+    ) -> None:
         """Same feeder/consumer overlap as Engine.run_stream: decode + host
         routing + sharded device_put on the feeder thread, step dispatch +
-        junction tally on the consumer."""
+        junction tally on the consumer.  on_batch(done): consumer-side hook
+        (checkpoint cadence of run_bam_mesh)."""
         import queue
         import threading
 
@@ -282,6 +313,7 @@ class MeshEngine:
 
         t = threading.Thread(target=feeder, daemon=True)
         t.start()
+        done = 0
         try:
             while True:
                 item = q.get()
@@ -291,6 +323,9 @@ class MeshEngine:
                     raise item
                 b, placed = item
                 self.process_batch(b, st, placed=placed)
+                done += 1
+                if on_batch is not None:
+                    on_batch(done)
         finally:
             stop.set()
             t.join()
@@ -354,24 +389,76 @@ def run_bam_mesh(
     cap_frags: int = 1 << 15,
     use_native: bool = True,
     n_threads: int = 4,
+    checkpoint: str | None = None,
+    checkpoint_every: int = 64,
+    long_reads: bool = False,
     config=None,
 ) -> RunMetrics:
     """`-m BAM --mesh ...`: count one aligner-ordered BAM through a sharded
     mesh pipeline and write the full output table set (byte-identical to the
-    unsharded run_bam; tests/test_engine_mesh.py)."""
+    unsharded run_bam; tests/test_engine_mesh.py).
+
+    Checkpointing mirrors run_bam (token-based seek resume, adaptive
+    snapshot cadence); a snapshot records the stacked mesh counters, so it
+    resumes only under the same --mesh shape."""
     if config is not None:
         cap_frags = config.cap_frags
         use_native = config.use_native
         n_threads = config.decoder_threads
+        checkpoint = config.checkpoint
+        checkpoint_every = config.checkpoint_every
+        long_reads = config.long_reads
     eng = MeshEngine(ref, spec, devices=devices, cap_frags=cap_frags)
     t0 = time.perf_counter()
-    header, batches, stats = open_decoder(ref, bam, cap_frags, use_native, n_threads)
-    st = eng.new_state(n_refids=len(header.ref_names))
-    eng.run_stream(batches, st)
-    st.metrics.decode_s = time.perf_counter() - t0 - st.metrics.device_s
+    on_batch = None
+    if checkpoint:
+        from .checkpoint import load_checkpoint, save_checkpoint
+
+        ck = load_checkpoint(checkpoint)
+        token = ck[4] if ck is not None else None
+        if ck is not None and token is None:
+            raise ValueError(
+                "mesh runs resume only from token-carrying snapshots "
+                "(legacy re-decode skip is an unsharded-engine path)"
+            )
+        header, batches, stats = open_decoder(
+            ref, bam, cap_frags, use_native, n_threads, resume_token=token,
+            long_reads=long_reads,
+        )
+        st = (
+            eng.restore_state(ck)
+            if ck is not None
+            else eng.new_state(n_refids=len(header.ref_names))
+        )
+        _snap_cost = [0.1]
+        last_snap = [time.perf_counter()]
+
+        def on_batch(done: int) -> None:
+            if done % checkpoint_every:
+                return
+            if time.perf_counter() - last_snap[0] < 4.0 * _snap_cost[0]:
+                return
+            t0s = time.perf_counter()
+            save_checkpoint(checkpoint, st)
+            dt = time.perf_counter() - t0s
+            st.metrics.checkpoint_s += dt
+            _snap_cost[0] = max(dt, 0.1)
+            last_snap[0] = time.perf_counter()
+
+    else:
+        header, batches, stats = open_decoder(
+            ref, bam, cap_frags, use_native, n_threads, long_reads=long_reads
+        )
+        st = eng.new_state(n_refids=len(header.ref_names))
+    eng.run_stream(batches, st, on_batch=on_batch)
+    st.metrics.decode_s = (
+        time.perf_counter() - t0 - st.metrics.device_s - st.metrics.checkpoint_s
+    )
     res = eng.results(st)
     st.metrics.reads_total = stats.reads_total
     st.metrics.reads_admitted = stats.reads_admitted
     st.metrics.fragments = stats.fragments
     write_outputs(out_dir, ref, header, None, res, st=st)
+    if checkpoint and os.path.exists(checkpoint):
+        os.remove(checkpoint)
     return st.metrics
