@@ -235,24 +235,53 @@ def build_finalize_ref(ref: CompiledRef) -> FinalizeRef:
     return out
 
 
+from .prefix import PFX_K, cumsum_1d
+
+
+def _prefix_tables(x):
+    """x (n,) int32 -> (rp_flat (n_pad,), tp (T,)): inclusive within-row
+    prefix (flattened) and exclusive per-row offsets.  One trailing zero row
+    guarantees position n is addressable."""
+    n = x.shape[0]
+    pad = (-n) % PFX_K + PFX_K
+    x2 = jnp.pad(x, (0, pad)).reshape(-1, PFX_K)
+    rp = jnp.cumsum(x2, axis=1, dtype=jnp.int32)
+    tile = rp[:, -1]
+    tp = jnp.cumsum(tile, dtype=jnp.int32) - tile
+    return rp.reshape(-1), tp
+
+
+def _prefix_at(rp_flat, tp, p):
+    """Exclusive prefix sum at position p (cs[p] of the flat formulation),
+    identical mod 2^32."""
+    c = p % PFX_K
+    intra = jnp.where(c > 0, jnp.take(rp_flat, jnp.maximum(p - 1, 0)), 0)
+    return jnp.take(tp, p // PFX_K) + intra
+
+
 @jax.jit
 def _device_sums(dsum, run_lo, run_hi, fw_lo, fw_hi, lw_lo, lw_hi):
-    """One cumsum over MBS, then every per-run / per-piece sum is a prefix
-    difference.
+    """Two-level prefix tables over MBS, then every per-run / per-piece sum
+    is a prefix difference.
 
     The prefix itself may exceed 2^31 on deep whole-genome runs, but int32
     wraparound subtraction still yields the exact per-run sum as long as each
     individual run's depth sum fits in int31 (two's-complement modular
     arithmetic) — the same bound the counters themselves already assume."""
-    cs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(dsum, dtype=jnp.int32)])
-    csnz = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum((dsum != 0).astype(jnp.int32), dtype=jnp.int32)]
-    )
+    rp, tp = _prefix_tables(dsum)
+    rpz, tpz = _prefix_tables((dsum != 0).astype(jnp.int32))
+
+    def cs(p):
+        return _prefix_at(rp, tp, p)
+
+    def csnz(p):
+        return _prefix_at(rpz, tpz, p)
+
     return (
-        jnp.take(cs, run_hi) - jnp.take(cs, run_lo),
-        jnp.take(csnz, run_hi) - jnp.take(csnz, run_lo),
-        jnp.take(cs, fw_hi) - jnp.take(cs, fw_lo),
-        jnp.take(cs, lw_hi) - jnp.take(cs, lw_lo),
+        cs(run_hi) - cs(run_lo),
+        csnz(run_hi) - csnz(run_lo),
+        cs(fw_hi) - cs(fw_lo),
+        cs(lw_hi) - cs(lw_lo),
     )
 
 
@@ -269,12 +298,18 @@ def _hist_jit(
     if F:
         # device expansion of the per-base flat lists from the per-run
         # tables (intron-major, so updates stay tile-grouped): rid maps each
-        # flat base to its run, pos is the base's offset within the run
-        R = runs_len.shape[0]
+        # flat base to its run, pos is the base's offset within the run.
+        # rid is a FULL prefix count of run-start marks — built with one
+        # tiny scatter + the two-level prefix (jnp.repeat lowers to an
+        # O(F log R) searchsorted gather; this is O(F) memory-bound)
+        # every run (zero-length included) marks its start; duplicate marks
+        # at one offset resolve rid to the LAST run starting there, which is
+        # the owner (a zero-length run owns no positions and its successor
+        # starts at the same offset).  Trailing zero-length runs mark slot F
+        # (sliced off).
         off = jnp.cumsum(runs_len) - runs_len
-        rid = jnp.repeat(
-            jnp.arange(R, dtype=jnp.int32), runs_len, total_repeat_length=F
-        )
+        marks = jnp.zeros(F + 1, jnp.int32).at[off].add(1)
+        rid = cumsum_1d(marks)[:F] - 1
         pos = jnp.arange(F, dtype=jnp.int32) - jnp.take(off, rid)
         vals = jnp.take(dsum, jnp.take(runs_start, rid) + pos)
         hidx = jnp.take(runs_base, rid) + jnp.clip(vals, 0, cap - 1)

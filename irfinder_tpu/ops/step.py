@@ -260,8 +260,12 @@ def finalize_device(dref: DeviceRef, counters: dict) -> dict:
     def sect2(off, w):
         return cnt[off : off + 2 * w].reshape(2, w)
 
-    depth = jnp.cumsum(sect2(lay.off_dd, lay.mbs + 1), axis=1)[:, :-1]
-    span_hits = jnp.cumsum(sect2(lay.off_p, lay.P + 1), axis=1)[:, :-1]
+    from .prefix import cumsum_last
+
+    # two-level prefix (ops/prefix.py): a flat cumsum over whole-genome MBS
+    # is ~28 full-array XLA passes; this is bit-identical and memory-bound
+    depth = cumsum_last(sect2(lay.off_dd, lay.mbs + 1))[:, :-1]
+    span_hits = cumsum_last(sect2(lay.off_p, lay.P + 1))[:, :-1]
     return {
         "depth": depth,
         "span_hits": span_hits,

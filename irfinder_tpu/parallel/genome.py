@@ -404,12 +404,14 @@ def make_depth_reassemble(plan: ShardPlan):
     reals = [r["mbs"] for r in plan.real]
 
     def go(cnt):
+        from ..ops.prefix import cumsum_last
+
         parts = []
         for i, rm in enumerate(reals):
             dd = jax.lax.dynamic_slice_in_dim(
                 cnt[i], lay.off_dd, 2 * (lay.mbs + 1)
             ).reshape(2, lay.mbs + 1)[:, : rm + 1]
-            parts.append(jnp.cumsum(dd, axis=1)[:, :-1])
+            parts.append(cumsum_last(dd)[:, :-1])
         return jnp.concatenate(parts, axis=1).astype(jnp.int32)
 
     return jax.jit(go)
