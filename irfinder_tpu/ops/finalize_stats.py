@@ -44,6 +44,7 @@ import numpy as np
 
 from .. import semantics as S
 from ..refio.compile import CompiledRef
+from .gather import gather_window
 from .scatter import TILE, hist_scatter_pallas
 
 #: histogram depth cap (bins per intron).  Must divide the scatter TILE.
@@ -67,6 +68,14 @@ class _Subset:
     tile_offs: jnp.ndarray  # (T+1,) int32 update offsets per histogram tile
     hist_len: int  # padded histogram length (TILE multiple)
     ridx: jnp.ndarray  # (3, n_sub) nearest-rank target indices
+    # windowed-gather metadata (ops/gather.py): per-GW-block row-aligned
+    # table window base, flat positions of band-overflow blocks (patched
+    # with an XLA gather), padded flat length, and whether the kernel path
+    # is worthwhile (enough blocks in-band)
+    F_pad: int = 0
+    blk_base: jnp.ndarray | None = None  # (nblk+1, 1) int32
+    bad_pos: jnp.ndarray | None = None  # (n_bad,) int32
+    use_gk: bool = False
 
 
 @dataclasses.dataclass
@@ -132,6 +141,84 @@ def _subset_runs(ref: CompiledRef, introns: np.ndarray):
     return runs, local
 
 
+def _sparse_tables(a: np.ndarray, op) -> list:
+    """O(n log n) sparse table for vectorized range min/max queries."""
+    lvls = [a]
+    k = 1
+    while 2 * k <= a.size:
+        lvls.append(op(lvls[-1][:-k], lvls[-1][k:]))
+        k *= 2
+    return lvls
+
+
+def _range_query(lvls: list, i: np.ndarray, j: np.ndarray, op, empty: int):
+    """Vectorized inclusive range query over [i, j]; `empty` where j < i."""
+    out = np.full(i.shape, empty, np.int64)
+    n = j - i + 1
+    vmask = n > 0
+    if vmask.any():
+        kk = np.zeros(i.shape, np.int64)
+        kk[vmask] = np.floor(np.log2(n[vmask])).astype(np.int64)
+        for lv in range(len(lvls)):
+            sel = vmask & (kk == lv)
+            if sel.any():
+                out[sel] = op(lvls[lv][i[sel]], lvls[lv][j[sel] - (1 << lv) + 1])
+    return out
+
+
+def _gather_meta(ref: CompiledRef, lens_all: np.ndarray, starts_all: np.ndarray, F: int):
+    """Per-GW-block window bases + band-overflow positions for the windowed
+    gather (ops/gather.py): every flat position of block b reads
+    dsum[src] with src inside [blk_base[b]*128, blk_base[b]*128 + SPAN) —
+    a static property of the run tables, computed here with sparse-table
+    range min/max over the (sorted-by-flat-offset) runs."""
+    from .gather import GW, SPAN, SROWS
+
+    F_pad = -(-max(F, 1) // GW) * GW
+    nblk = F_pad // GW
+    off_all = np.cumsum(lens_all) - lens_all
+    m = lens_all > 0
+    s, l, off = starts_all[m], lens_all[m], off_all[m]
+    mrows = max(-(-ref.mbs_size // 128), SROWS)
+    base = np.zeros(nblk, np.int64)
+    ok = np.ones(nblk, bool)
+    if s.size:
+        end = off + l
+        send = s + l - 1
+        min_lvls = _sparse_tables(s, np.minimum)
+        max_lvls = _sparse_tables(send, np.maximum)
+        bW = np.arange(nblk, dtype=np.int64) * GW
+        f_b = np.searchsorted(end, bW, side="right")
+        l_b = np.searchsorted(off, bW + GW, side="left") - 1
+        valid = (f_b <= l_b) & (f_b < s.size)
+        fv, lv_ = f_b[valid], l_b[valid]
+        first_lo = s[fv] + np.maximum(0, bW[valid] - off[fv])
+        lo = np.minimum(
+            first_lo,
+            _range_query(min_lvls, fv + 1, lv_, np.minimum, np.iinfo(np.int64).max),
+        )
+        last_hi = s[lv_] + np.minimum(l[lv_], bW[valid] + GW - off[lv_]) - 1
+        hi = np.maximum(
+            last_hi,
+            _range_query(max_lvls, fv, lv_ - 1, np.maximum, np.iinfo(np.int64).min),
+        )
+        b_rows = np.clip(lo >> 7, 0, mrows - SROWS)
+        base[valid] = b_rows
+        ok[valid] = (hi - b_rows * 128) < SPAN
+    bad = np.nonzero(~ok)[0]
+    bad_pos = (
+        np.concatenate(
+            [np.arange(b * GW, min((b + 1) * GW, F), dtype=np.int64) for b in bad]
+        ).astype(np.int32)
+        if bad.size
+        else np.zeros(0, np.int32)
+    )
+    blk_base = np.zeros((nblk + 1, 1), np.int32)
+    blk_base[:nblk, 0] = base
+    use_gk = bool(ok.mean() >= 0.5) if nblk else True
+    return F_pad, jnp.asarray(blk_base), jnp.asarray(bad_pos), use_gk
+
+
 def _build_subset(ref: CompiledRef, introns: np.ndarray, n_bases: np.ndarray) -> _Subset:
     """Per-run tables for the subset (intron-major run order) plus histogram
     tile offsets (static: CAP | TILE, so each intron's bins live in exactly
@@ -149,6 +236,7 @@ def _build_subset(ref: CompiledRef, introns: np.ndarray, n_bases: np.ndarray) ->
     ipt = TILE // CAP  # introns per tile
     bounds = np.minimum(np.arange(T + 1) * ipt, introns.size)
     tile_offs = flat_off[bounds].astype(np.int32)
+    F_pad, blk_base, bad_pos, use_gk = _gather_meta(ref, lens, starts, total)
     return _Subset(
         introns=introns,
         n_bases=nb,
@@ -160,6 +248,10 @@ def _build_subset(ref: CompiledRef, introns: np.ndarray, n_bases: np.ndarray) ->
         tile_offs=jnp.asarray(tile_offs),
         hist_len=hist_len,
         ridx=jnp.asarray(_ridx(nb)),
+        F_pad=F_pad,
+        blk_base=blk_base,
+        bad_pos=bad_pos,
+        use_gk=use_gk,
     )
 
 
@@ -289,30 +381,46 @@ import functools
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_sub", "hist_len", "cap", "F", "interpret")
+    jax.jit,
+    static_argnames=("n_sub", "hist_len", "cap", "F", "F_pad", "use_gk", "interpret"),
 )
 def _hist_jit(
-    dsum, runs_start, runs_len, runs_base, tile_offs, ridx,
-    n_sub, hist_len, cap, F, interpret,
+    dsum, runs_start, runs_len, runs_base, tile_offs, ridx, blk_base, bad_pos,
+    n_sub, hist_len, cap, F, F_pad, use_gk, interpret,
 ):
     if F:
         # device expansion of the per-base flat lists from the per-run
-        # tables (intron-major, so updates stay tile-grouped): rid maps each
-        # flat base to its run, pos is the base's offset within the run.
-        # rid is a FULL prefix count of run-start marks — built with one
-        # tiny scatter + the two-level prefix (jnp.repeat lowers to an
-        # O(F log R) searchsorted gather; this is O(F) memory-bound)
-        # every run (zero-length included) marks its start; duplicate marks
-        # at one offset resolve rid to the LAST run starting there, which is
-        # the owner (a zero-length run owns no positions and its successor
-        # starts at the same offset).  Trailing zero-length runs mark slot F
-        # (sliced off).
+        # tables (intron-major, so updates stay tile-grouped).  Per-run
+        # quantities are expanded to per-base WITHOUT a large gather: a
+        # per-run value a becomes per-base via one tiny delta scatter at the
+        # run starts + a two-level prefix sum (duplicate offsets from
+        # zero-length runs telescope to the owning run's value; trailing
+        # zero-length runs scatter at slot F, dropped when F == F_pad and
+        # harmless in the pad tail otherwise).  The remaining data gather
+        # dsum[src] rides the windowed Pallas gather kernel (ops/gather.py)
+        # — XLA's dynamic gather is ~20 ns/element, the dominant cost of
+        # this program at whole-genome scale — with band-overflow blocks
+        # patched by a small XLA gather.  Positions in [F, F_pad) carry
+        # garbage; the histogram's tile offsets end at F, so they are never
+        # applied.
         off = jnp.cumsum(runs_len) - runs_len
-        marks = jnp.zeros(F + 1, jnp.int32).at[off].add(1)
-        rid = cumsum_1d(marks)[:F] - 1
-        pos = jnp.arange(F, dtype=jnp.int32) - jnp.take(off, rid)
-        vals = jnp.take(dsum, jnp.take(runs_start, rid) + pos)
-        hidx = jnp.take(runs_base, rid) + jnp.clip(vals, 0, cap - 1)
+
+        def exp_delta(a):
+            d = jnp.concatenate([a[:1], a[1:] - a[:-1]])
+            return cumsum_1d(jnp.zeros(F_pad, jnp.int32).at[off].add(d, mode="drop"))
+
+        src = jnp.arange(F_pad, dtype=jnp.int32) + exp_delta(runs_start - off)
+        base_exp = exp_delta(runs_base)
+        if use_gk:
+            dc = jnp.minimum(dsum, cap - 1)
+            vals = gather_window(dc, src, blk_base, interpret=interpret)
+            if bad_pos.shape[0]:
+                vals = vals.at[bad_pos].set(
+                    jnp.take(dc, jnp.take(src, bad_pos)), mode="drop"
+                )
+            hidx = base_exp + vals
+        else:
+            hidx = base_exp + jnp.clip(jnp.take(dsum, src), 0, cap - 1)
     else:
         hidx = jnp.zeros(0, jnp.int32)
     hist = hist_scatter_pallas(
@@ -334,8 +442,9 @@ def _device_hist(dsum, sub: _Subset, ridx, interpret: bool):
     ridx: (3, n_sub) target rank indices.  Returns pk (3, n_sub)."""
     return _hist_jit(
         dsum, sub.runs_start, sub.runs_len, sub.runs_base, sub.tile_offs, ridx,
+        sub.blk_base, sub.bad_pos,
         n_sub=sub.introns.size, hist_len=sub.hist_len, cap=CAP, F=sub.F,
-        interpret=interpret,
+        F_pad=sub.F_pad, use_gk=sub.use_gk, interpret=interpret,
     )
 
 
@@ -447,6 +556,8 @@ def _all_stats_fn(finref: FinalizeRef, interpret: bool):
     sizes = {k_: finref.subsets[k_].introns.size for k_ in _SUBSET_ORDER}
     hist_lens = {k_: finref.subsets[k_].hist_len for k_ in _SUBSET_ORDER}
     Fs = {k_: finref.subsets[k_].F for k_ in _SUBSET_ORDER}
+    F_pads = {k_: finref.subsets[k_].F_pad for k_ in _SUBSET_ORDER}
+    use_gks = {k_: finref.subsets[k_].use_gk for k_ in _SUBSET_ORDER}
 
     def go(depth, plane_a, tables):
         # plane_a: 0/1 traced scalar — which depth plane feeds subset A
@@ -470,9 +581,10 @@ def _all_stats_fn(finref: FinalizeRef, interpret: bool):
                 t = tables[k_]
                 pk = _hist_jit(
                     dsum, t["runs_start"], t["runs_len"], t["runs_base"],
-                    t["tile_offs"], t["ridx"],
+                    t["tile_offs"], t["ridx"], t["blk_base"], t["bad_pos"],
                     n_sub=sizes[k_], hist_len=hist_lens[k_], cap=CAP,
-                    F=Fs[k_], interpret=interpret,
+                    F=Fs[k_], F_pad=F_pads[k_], use_gk=use_gks[k_],
+                    interpret=interpret,
                 )
                 parts.append(pk.reshape(-1))
         return jnp.concatenate([p.reshape(-1).astype(jnp.int32) for p in parts])
@@ -494,6 +606,7 @@ def _stats_tables(finref: FinalizeRef) -> dict:
             "runs_start": sub.runs_start, "runs_len": sub.runs_len,
             "runs_base": sub.runs_base,
             "tile_offs": sub.tile_offs, "ridx": sub.ridx,
+            "blk_base": sub.blk_base, "bad_pos": sub.bad_pos,
         }
     return t
 
