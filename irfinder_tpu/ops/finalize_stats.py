@@ -68,12 +68,11 @@ class _Subset:
     tile_offs: jnp.ndarray  # (T+1,) int32 update offsets per histogram tile
     hist_len: int  # padded histogram length (TILE multiple)
     ridx: jnp.ndarray  # (3, n_sub) nearest-rank target indices
-    # windowed-gather metadata (ops/gather.py): per-GW-block row-aligned
-    # table window base, flat positions of band-overflow blocks (patched
-    # with an XLA gather), padded flat length, and whether the kernel path
-    # is worthwhile (enough blocks in-band)
+    # windowed-gather metadata (ops/gather.py): flat positions of
+    # band-overflow blocks (patched with an XLA gather), padded flat
+    # length, and whether the kernel path is worthwhile (enough blocks
+    # in-band)
     F_pad: int = 0
-    blk_base: jnp.ndarray | None = None  # (nblk+1, 1) int32
     bad_pos: jnp.ndarray | None = None  # (n_bad,) int32
     use_gk: bool = False
 
@@ -167,11 +166,12 @@ def _range_query(lvls: list, i: np.ndarray, j: np.ndarray, op, empty: int):
 
 
 def _gather_meta(ref: CompiledRef, lens_all: np.ndarray, starts_all: np.ndarray, F: int):
-    """Per-GW-block window bases + band-overflow positions for the windowed
-    gather (ops/gather.py): every flat position of block b reads
-    dsum[src] with src inside [blk_base[b]*128, blk_base[b]*128 + SPAN) —
-    a static property of the run tables, computed here with sparse-table
-    range min/max over the (sorted-by-flat-offset) runs."""
+    """Band-overflow positions for the windowed gather (ops/gather.py): the
+    kernel derives each block's window base as
+    clip(min(src_block) >> 7, 0, mrows - SROWS); a block whose max src
+    falls outside that window produces garbage and must be patched.  Both
+    bounds are static properties of the run tables, computed here with
+    sparse-table range min/max over the (sorted-by-flat-offset) runs."""
     from .gather import GW, SPAN, SROWS
 
     F_pad = -(-max(F, 1) // GW) * GW
@@ -180,7 +180,6 @@ def _gather_meta(ref: CompiledRef, lens_all: np.ndarray, starts_all: np.ndarray,
     m = lens_all > 0
     s, l, off = starts_all[m], lens_all[m], off_all[m]
     mrows = max(-(-ref.mbs_size // 128), SROWS)
-    base = np.zeros(nblk, np.int64)
     ok = np.ones(nblk, bool)
     if s.size:
         end = off + l
@@ -203,7 +202,6 @@ def _gather_meta(ref: CompiledRef, lens_all: np.ndarray, starts_all: np.ndarray,
             _range_query(max_lvls, fv, lv_ - 1, np.maximum, np.iinfo(np.int64).min),
         )
         b_rows = np.clip(lo >> 7, 0, mrows - SROWS)
-        base[valid] = b_rows
         ok[valid] = (hi - b_rows * 128) < SPAN
     bad = np.nonzero(~ok)[0]
     bad_pos = (
@@ -213,10 +211,8 @@ def _gather_meta(ref: CompiledRef, lens_all: np.ndarray, starts_all: np.ndarray,
         if bad.size
         else np.zeros(0, np.int32)
     )
-    blk_base = np.zeros((nblk + 1, 1), np.int32)
-    blk_base[:nblk, 0] = base
     use_gk = bool(ok.mean() >= 0.5) if nblk else True
-    return F_pad, jnp.asarray(blk_base), jnp.asarray(bad_pos), use_gk
+    return F_pad, jnp.asarray(bad_pos), use_gk
 
 
 def _build_subset(ref: CompiledRef, introns: np.ndarray, n_bases: np.ndarray) -> _Subset:
@@ -236,7 +232,7 @@ def _build_subset(ref: CompiledRef, introns: np.ndarray, n_bases: np.ndarray) ->
     ipt = TILE // CAP  # introns per tile
     bounds = np.minimum(np.arange(T + 1) * ipt, introns.size)
     tile_offs = flat_off[bounds].astype(np.int32)
-    F_pad, blk_base, bad_pos, use_gk = _gather_meta(ref, lens, starts, total)
+    F_pad, bad_pos, use_gk = _gather_meta(ref, lens, starts, total)
     return _Subset(
         introns=introns,
         n_bases=nb,
@@ -249,7 +245,6 @@ def _build_subset(ref: CompiledRef, introns: np.ndarray, n_bases: np.ndarray) ->
         hist_len=hist_len,
         ridx=jnp.asarray(_ridx(nb)),
         F_pad=F_pad,
-        blk_base=blk_base,
         bad_pos=bad_pos,
         use_gk=use_gk,
     )
@@ -385,7 +380,7 @@ import functools
     static_argnames=("n_sub", "hist_len", "cap", "F", "F_pad", "use_gk", "interpret"),
 )
 def _hist_jit(
-    dsum, runs_start, runs_len, runs_base, tile_offs, ridx, blk_base, bad_pos,
+    dsum, runs_start, runs_len, runs_base, tile_offs, ridx, bad_pos,
     n_sub, hist_len, cap, F, F_pad, use_gk, interpret,
 ):
     if F:
@@ -412,8 +407,15 @@ def _hist_jit(
         src = jnp.arange(F_pad, dtype=jnp.int32) + exp_delta(runs_start - off)
         base_exp = exp_delta(runs_base)
         if use_gk:
+            if F_pad != F:
+                # the pad tail carries garbage src; pin it to the last real
+                # value so the kernel's min(src_block) window-base derivation
+                # in the final mixed block is not dragged out of band
+                src = jnp.where(
+                    jnp.arange(F_pad, dtype=jnp.int32) < F, src, src[F - 1]
+                )
             dc = jnp.minimum(dsum, cap - 1)
-            vals = gather_window(dc, src, blk_base, interpret=interpret)
+            vals = gather_window(dc, src, interpret=interpret)
             if bad_pos.shape[0]:
                 vals = vals.at[bad_pos].set(
                     jnp.take(dc, jnp.take(src, bad_pos)), mode="drop"
@@ -442,7 +444,7 @@ def _device_hist(dsum, sub: _Subset, ridx, interpret: bool):
     ridx: (3, n_sub) target rank indices.  Returns pk (3, n_sub)."""
     return _hist_jit(
         dsum, sub.runs_start, sub.runs_len, sub.runs_base, sub.tile_offs, ridx,
-        sub.blk_base, sub.bad_pos,
+        sub.bad_pos,
         n_sub=sub.introns.size, hist_len=sub.hist_len, cap=CAP, F=sub.F,
         F_pad=sub.F_pad, use_gk=sub.use_gk, interpret=interpret,
     )
@@ -581,7 +583,7 @@ def _all_stats_fn(finref: FinalizeRef, interpret: bool):
                 t = tables[k_]
                 pk = _hist_jit(
                     dsum, t["runs_start"], t["runs_len"], t["runs_base"],
-                    t["tile_offs"], t["ridx"], t["blk_base"], t["bad_pos"],
+                    t["tile_offs"], t["ridx"], t["bad_pos"],
                     n_sub=sizes[k_], hist_len=hist_lens[k_], cap=CAP,
                     F=Fs[k_], F_pad=F_pads[k_], use_gk=use_gks[k_],
                     interpret=interpret,
@@ -606,7 +608,7 @@ def _stats_tables(finref: FinalizeRef) -> dict:
             "runs_start": sub.runs_start, "runs_len": sub.runs_len,
             "runs_base": sub.runs_base,
             "tile_offs": sub.tile_offs, "ridx": sub.ridx,
-            "blk_base": sub.blk_base, "bad_pos": sub.bad_pos,
+            "bad_pos": sub.bad_pos,
         }
     return t
 

@@ -26,13 +26,13 @@ def _check(starts, lens, mbs, seed=0):
     src = _runs_to_src(starts, lens)
     F = src.size
     ref = types.SimpleNamespace(mbs_size=mbs)
-    F_pad, blk_base, bad_pos, use_gk = _gather_meta(
+    F_pad, bad_pos, use_gk = _gather_meta(
         ref, lens.astype(np.int64), starts.astype(np.int64), F
     )
-    srcp = np.zeros(F_pad, np.int32)
+    srcp = np.full(F_pad, src[-1], np.int32)  # pad tail pinned like _hist_jit
     srcp[:F] = src
     got = np.asarray(
-        gather_window(jnp.asarray(tbl), jnp.asarray(srcp), blk_base, interpret=True)
+        gather_window(jnp.asarray(tbl), jnp.asarray(srcp), interpret=True)
     )[:F]
     want = tbl[src]
     bad = np.zeros(F, bool)
