@@ -343,19 +343,30 @@ class Engine:
         st = st or self._st
         t0 = time.perf_counter()
         fin = self._finalize(self.dref, st.counters)  # async device dispatch
-        # host work below overlaps the finalize program
+        # the directionality decision gates only which depth plane feeds
+        # subset A of the stats program; dispatch it optimistically with
+        # flip=False BEFORE the host junction join (the join drains the
+        # background tally compaction — its cost must overlap the device
+        # stats compute, not precede the dispatch) and re-dispatch in the
+        # rare flipped case (stranded antisense libraries)
+        pending = None
+        if self._device_stats:
+            from .ops.finalize_stats import device_all_stats_async
+
+            pending = device_all_stats_async(
+                self.ref, self._get_finref(), fin["depth"], False,
+                interpret=self._stats_interpret,
+            )
+        # host work below overlaps the finalize + stats programs
         sc, ec, xc = junction_counters(self.ref, st.junc_tally)
         stranded, flip, frac, n_inf = detect_directionality(self.ref, xc)
         st.metrics.is_stranded = bool(stranded)
         st.metrics.flip_strand = bool(flip)
         st.metrics.dir_concordance = float(frac)
         st.metrics.dir_informative = int(n_inf)
-        pending = None
-        if self._device_stats:
-            from .ops.finalize_stats import device_all_stats_async
-
+        if pending is not None and flip:
             pending = device_all_stats_async(
-                self.ref, self._get_finref(), fin["depth"], bool(flip),
+                self.ref, self._get_finref(), fin["depth"], True,
                 interpret=self._stats_interpret,
             )
         st.metrics.finalize_s += time.perf_counter() - t0
