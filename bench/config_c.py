@@ -68,14 +68,20 @@ def main() -> None:
     out = os.path.join(CACHE, "configC_out")
     ckpt = os.path.join(CACHE, "configC.ckpt") if os.environ.get("CONFIG_C_CHECKPOINT") else None
     mesh = os.environ.get("CONFIG_C_MESH")
-    t0 = time.perf_counter()
-    if mesh:
-        from irfinder_tpu.engine_mesh import MeshSpec, run_bam_mesh
+    # rep 2+ measures the in-process warm run: one-time XLA compiles (the
+    # remote compile service shows 100-600 s outliers) land in rep 1
+    reps = int(os.environ.get("CONFIG_C_REPS", 1))
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        if mesh:
+            from irfinder_tpu.engine_mesh import MeshSpec, run_bam_mesh
 
-        metrics = run_bam_mesh(ref, bam, out, MeshSpec.parse(mesh))
-    else:
-        metrics = run_bam(ref, bam, out, checkpoint=ckpt, checkpoint_every=64)
-    dt = time.perf_counter() - t0
+            metrics = run_bam_mesh(ref, bam, out, MeshSpec.parse(mesh))
+        else:
+            metrics = run_bam(ref, bam, out, checkpoint=ckpt, checkpoint_every=64)
+        dt = time.perf_counter() - t0
+        if rep < reps - 1:
+            print(f"[config_c] rep {rep}: {dt:.1f}s (compile-inclusive)", file=sys.stderr)
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(
         json.dumps(
