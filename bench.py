@@ -146,6 +146,7 @@ def bench_e2e() -> None:
                 "n_reads": metrics.reads_total,
                 "wall_s": round(dt, 3),
                 "decode_s": round(metrics.decode_s, 3),
+                "h2d_s": round(metrics.h2d_s, 3),
                 "device_s": round(metrics.device_s, 3),
                 "finalize_s": round(metrics.finalize_s, 3),
                 "oracle_reads_per_s": round(baseline, 1),

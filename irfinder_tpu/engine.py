@@ -43,6 +43,10 @@ class RunMetrics:
     fragments: int = 0
     batches: int = 0
     decode_s: float = 0.0
+    #: feeder blocking time in jax.device_put (H2D through the tunneled
+    #: link wanders 0.1-1.2 GB/s; attributing it separately from decode
+    #: keeps the host-ceiling decomposition honest)
+    h2d_s: float = 0.0
     device_s: float = 0.0
     finalize_s: float = 0.0
     checkpoint_s: float = 0.0
@@ -207,15 +211,26 @@ class Engine:
         q: "queue.Queue" = queue.Queue(maxsize=2)
         SENTINEL = object()
         stop = threading.Event()
+        st_ = st or self._st
+        m = st_.metrics
 
         def feeder():
             try:
                 n_skipped = 0
-                for b in batches:
+                it = iter(batches)
+                while True:
+                    t0 = time.perf_counter()
+                    try:
+                        b = next(it)
+                    except StopIteration:
+                        break
+                    m.decode_s += time.perf_counter() - t0
                     if n_skipped < skip:
                         n_skipped += 1
                         continue
+                    t0 = time.perf_counter()
                     flat = jax.device_put(b.fused_h2d())
+                    m.h2d_s += time.perf_counter() - t0
                     while not stop.is_set():
                         try:
                             q.put((b, flat), timeout=0.5)
@@ -279,7 +294,9 @@ class Engine:
                     except StopIteration:
                         break
                     st.metrics.decode_s += time.perf_counter() - t0
+                    t0 = time.perf_counter()
                     flat = jax.device_put(b.fused_h2d())
+                    st.metrics.h2d_s += time.perf_counter() - t0
                     while not stop.is_set():
                         try:
                             q.put((b, st, flat), timeout=0.5)
@@ -578,11 +595,8 @@ def run_bam(
         )
         engine.reset(n_refids=len(header.ref_names))
         engine.run_stream(batches)
-    engine.metrics.decode_s = (
-        time.perf_counter() - t0
-        - engine.metrics.device_s
-        - engine.metrics.checkpoint_s
-    )
+    # decode_s / h2d_s are measured directly on the feeder (blocking decoder
+    # pulls vs device_put); the remainder of the stream wall is queue overlap
     # dispatch the finalize/stats device programs, then write the
     # stats-independent JuncCount table while they run (2.5M rows at
     # whole-genome 50M-read scale — several seconds of host formatting that
