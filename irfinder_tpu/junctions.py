@@ -63,7 +63,26 @@ class JuncTally:
         # when every partial waited for the end)
         self._worker: threading.Thread | None = None
         self._bg_acc: tuple | None = None  # (k1, k2e, vals) sorted-unique
+        self._bg_exc: BaseException | None = None
         self._bg_lock = threading.Lock()
+        # overflow partials folded synchronously when the worker can't keep
+        # pace (bounded-memory guarantee); consumed by _compact()
+        self._sync_partials: list[tuple] = []
+
+    # -- pickling -------------------------------------------------------------
+    # The tally crosses process boundaries in the multi-host merge path
+    # (parallel/multihost.py ships per-process partials to host 0).  Thread
+    # and lock state is process-local: drain the worker and serialize only the
+    # canonical sorted-unique arrays, then rebuild fresh thread state on load.
+    def __getstate__(self):
+        self._compact()
+        return {"_k1": self._k1, "_k2e": self._k2e, "_vals": self._vals}
+
+    def __setstate__(self, state):
+        self.__init__()
+        self._k1 = state["_k1"]
+        self._k2e = state["_k2e"]
+        self._vals = state["_vals"]
 
     # -- accumulation ---------------------------------------------------------
     def add_batch(self, b) -> None:
@@ -91,26 +110,40 @@ class JuncTally:
 
     def _spawn_bg(self) -> None:
         """Move the pending chunks to a daemon compaction worker.  At most
-        one worker runs at a time (if busy, pending simply keeps growing
-        until the next threshold crossing)."""
+        one worker runs at a time; if it is busy when raw pending growth
+        crosses 4x the threshold, fold synchronously so memory stays bounded
+        even under a worker that can't keep pace with the producer."""
         if self._worker is not None and self._worker.is_alive():
+            if self._pending_rows >= 4 * COMPACT_ROWS:
+                # compacted partials are unique rows (bounded by the genome's
+                # junction count); the next worker spawn or drain folds them
+                self._sync_partials.append(_compact_chunks(self._pending))
+                self._pending = []
+                self._pending_rows = 0
             return
         chunks = self._pending
         self._pending = []
         self._pending_rows = 0
+        extra = self._sync_partials
+        self._sync_partials = []
 
         def work():
-            part = _compact_chunks(chunks)
-            with self._bg_lock:
-                acc = self._bg_acc
-            if acc is not None:
-                part = _reduce_sorted(
-                    np.concatenate([acc[0], part[0]]),
-                    np.concatenate([acc[1], part[1]]),
-                    np.concatenate([acc[2], part[2]]),
-                )
-            with self._bg_lock:
-                self._bg_acc = part
+            try:
+                part = _compact_chunks(chunks)
+                with self._bg_lock:
+                    acc = self._bg_acc
+                parts = [part] + extra + ([acc] if acc is not None else [])
+                if len(parts) > 1:
+                    part = _reduce_sorted(
+                        np.concatenate([p[0] for p in parts]),
+                        np.concatenate([p[1] for p in parts]),
+                        np.concatenate([p[2] for p in parts]),
+                    )
+                with self._bg_lock:
+                    self._bg_acc = part
+            except BaseException as e:  # surface from _compact(), not stderr
+                with self._bg_lock:
+                    self._bg_exc = e
 
         t = threading.Thread(target=work, daemon=True)
         t.start()
@@ -136,7 +169,12 @@ class JuncTally:
             self._worker = None
         with self._bg_lock:
             acc, self._bg_acc = self._bg_acc, None
+            exc, self._bg_exc = self._bg_exc, None
+        if exc is not None:
+            raise RuntimeError("junction compaction worker failed") from exc
         parts = [acc] if acc is not None else []
+        parts.extend(self._sync_partials)
+        self._sync_partials = []
         if self._pending:
             parts.append(_compact_chunks(self._pending))
             self._pending = []
@@ -171,6 +209,7 @@ class JuncTally:
             has_acc = self._bg_acc is not None and len(self._bg_acc[0]) > 0
         return (
             bool(self._pending)
+            or bool(self._sync_partials)
             or has_acc
             or (self._worker is not None and self._worker.is_alive())
             or len(self._k1) > 0

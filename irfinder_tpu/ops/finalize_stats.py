@@ -414,7 +414,7 @@ def _hist_jit(
                 src = jnp.where(
                     jnp.arange(F_pad, dtype=jnp.int32) < F, src, src[F - 1]
                 )
-            dc = jnp.minimum(dsum, cap - 1)
+            dc = jnp.clip(dsum, 0, cap - 1)
             vals = gather_window(dc, src, interpret=interpret)
             if bad_pos.shape[0]:
                 vals = vals.at[bad_pos].set(
