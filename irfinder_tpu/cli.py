@@ -140,11 +140,23 @@ def cmd_mapability(args) -> int:
 
 class _TeeReader:
     """Read-through wrapper that copies every chunk to a sink file (FastQ
-    --stream --keep-bam: spool Unsorted.bam while counting off the pipe)."""
+    --stream --keep-bam: spool Unsorted.bam while counting off the pipe).
+
+    Exposes fileno()/tell() so engine.open_decoder can route the underlying
+    pipe through the NATIVE streaming decoder, which tees in C via
+    `irtpu_tee_fd` (the Python read() tee below only runs on the pure-Python
+    fallback — exactly one consumer path ever reads the stream)."""
 
     def __init__(self, src, sink):
         self._src = src
         self._sink = sink
+        self.irtpu_tee_fd = sink.fileno()
+
+    def fileno(self) -> int:
+        return self._src.fileno()
+
+    def tell(self) -> int:
+        return self._src.tell()
 
     def read(self, n: int = -1) -> bytes:
         data = self._src.read(n)
@@ -329,9 +341,10 @@ def cmd_fastq(args) -> int:
     aligner = subprocess.Popen(shlex.split(cmd), stdout=subprocess.PIPE)
     try:
         if args.stream:
-            # count straight off the pipe (pure-Python decoder: the native
-            # decoder mmaps and cannot read a FIFO) — the streaming decoder
-            # overlaps counting with alignment, memory stays O(one block)
+            # count straight off the pipe via the NATIVE streaming decoder
+            # (reader thread + multithreaded inflate pool; engine.open_decoder
+            # routes any real-fd source through bd_open_fd) — counting
+            # overlaps alignment, memory stays O(ring of BGZF members)
             src = aligner.stdout
             if args.keep_bam:
                 os.makedirs(args.out, exist_ok=True)

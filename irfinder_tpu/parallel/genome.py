@@ -253,6 +253,21 @@ def make_dp_genome_step(
     return jitted, place_dref, place_counters, place_batch
 
 
+def _round_cap(x: int) -> int:
+    """Next quarter-power-of-two >= x (power of two with 2 mantissa bits):
+    shape-rounding padding stays <= 25% (plain pow2 rounding wasted up to
+    ~100% on skewed cells — round-3 verdict #6) while caps still take O(log)
+    distinct values, so the monotonic min_caps floor keeps the number of
+    jitted-step re-specializations small."""
+    if x <= 1:
+        return 1
+    base = 1 << (int(x).bit_length() - 1)  # largest pow2 <= x
+    if base == x:
+        return x
+    step = max(1, base // 4)
+    return base + -(-(x - base) // step) * step
+
+
 def route_flat_batch(
     plan: ShardPlan,
     batch: dict,
@@ -295,7 +310,7 @@ def route_flat_batch(
         # stable order within each cell preserves read order per shard
         order = np.argsort(np.where(valid, cell, n_dp * n_g), kind="stable")
         cellcnt = np.bincount(cell[valid], minlength=n_dp * n_g)
-        cap = max(lane, int(min_cap), 1 << int(np.ceil(np.log2(max(1, int(cellcnt.max()))))))
+        cap = max(lane, int(min_cap), _round_cap(int(cellcnt.max())))
         cap = int(-(-cap // lane) * lane)
         n_valid = int(valid.sum())
         src = order[:n_valid]  # valid rows, grouped by cell

@@ -30,7 +30,10 @@
 #include <thread>
 #include <vector>
 
+#include <chrono>
+
 #include <fcntl.h>
+#include <poll.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
@@ -100,6 +103,25 @@ struct Slot {
 };
 
 constexpr int kSlots = 64;
+
+// Streaming (pipe) mode: compressed-member ring fed by a reader thread.
+// 256 members x <=64KiB compressed bounds memory at ~16MiB worst case.
+constexpr int kCSlots = 256;
+
+struct StreamBlock {
+  std::vector<uint8_t> raw;  // full BGZF member bytes
+  uint32_t csize = 0, isize = 0, data_off = 0;
+};
+
+// Bounded spin: yield briefly, then sleep — waiting sides of the pipe
+// pipeline must not starve a slow producer on a small host.
+inline void backoff(int& spins) {
+  if (++spins < 64) {
+    std::this_thread::yield();
+  } else {
+    std::this_thread::sleep_for(std::chrono::microseconds(100));
+  }
+}
 
 struct ParsedRead {
   std::string name;
@@ -194,6 +216,36 @@ class Decoder {
     return true;
   }
 
+  // Streaming (pipe/fd) mode (SURVEY.md §3.2 FIFO chain — the reference's
+  // counter reads the aligner's SAM/BAM stream directly; this is the TPU
+  // build's equivalent so FastQ --stream rides the SAME multithreaded
+  // inflate/parse pipeline as the file path): a reader thread pulls BGZF
+  // members off the fd into a bounded compressed ring; the worker pool
+  // inflates from the ring.  No mmap, no pre-scan, memory O(kCSlots*64KiB).
+  // Resume tokens are emitted (format-shared) but cannot reposition a pipe.
+  bool open_fd(int fd, int64_t cap_frags, int n_threads, int32_t drop_mask,
+               int32_t min_mapq, int32_t min_gap, int64_t blocks_per_frag,
+               int64_t gaps_per_frag, int tee_fd) {
+    drop_mask_ = drop_mask;
+    min_mapq_ = min_mapq;
+    min_gap_ = min_gap;
+    streaming_ = true;
+    fd_ = dup(fd);  // own our copy; caller's fd lifecycle stays theirs
+    if (fd_ < 0) return fail("cannot dup stream fd");
+    tee_fd_ = tee_fd;
+    for (auto& s : slots_) s.data.resize(1 << 16);
+    cur_.init(cap_frags, blocks_per_frag, gaps_per_frag);
+    stop_.store(false);
+    next_block_.store(0);
+    consumed_.store(0);
+    reader_ = std::thread([this] { reader(); });
+    n_threads = std::max(1, n_threads);
+    for (int i = 0; i < n_threads; i++)
+      workers_.emplace_back([this] { worker(); });
+    if (!parse_header()) return false;
+    return true;
+  }
+
   // Logical (inflated-stream) offset of the parse cursor.
   int64_t tell() const { return appended_ - (int64_t)(buf_.size() - pos_); }
 
@@ -201,6 +253,7 @@ class Decoder {
 
   ~Decoder() {
     stop_.store(true);
+    if (reader_.joinable()) reader_.join();
     for (auto& t : workers_) t.join();
     if (map_ && map_ != MAP_FAILED) munmap(const_cast<uint8_t*>(map_), fsize_);
     if (fd_ >= 0) ::close(fd_);
@@ -317,14 +370,36 @@ class Decoder {
     Inflater inf;
     while (!stop_.load(std::memory_order_relaxed)) {
       int64_t i = next_block_.fetch_add(1);
-      if (i >= (int64_t)blocks_.size()) break;
+      if (streaming_) {
+        // wait for the reader to have scanned member i (or stream EOF)
+        int spins = 0;
+        while (scanned_.load(std::memory_order_acquire) <= i) {
+          if (stream_eof_.load(std::memory_order_acquire) &&
+              scanned_.load(std::memory_order_acquire) <= i)
+            return;
+          if (stop_.load(std::memory_order_relaxed)) return;
+          backoff(spins);
+        }
+      } else if (i >= (int64_t)blocks_.size()) {
+        break;
+      }
       Slot& s = slots_[i % kSlots];
       // wait until the consumer has freed this slot (consumed block i-kSlots)
+      int spins = 0;
       while (consumed_.load(std::memory_order_acquire) < i - kSlots + 1) {
         if (stop_.load(std::memory_order_relaxed)) return;
-        std::this_thread::yield();
+        backoff(spins);
       }
-      {
+      if (streaming_) {
+        const StreamBlock& b = sblocks_[i % kCSlots];
+        int64_t got = inf.run(b.raw.data() + b.data_off, b.csize,
+                              s.data.data(), (uint32_t)s.data.size());
+        if (got != (int64_t)b.isize) {
+          bad_block_.store(i, std::memory_order_release);
+        }
+        s.len = b.isize;
+        s.block.store(i, std::memory_order_release);
+      } else {
         const BlockDesc& b = blocks_[i];
         int64_t got = inf.run(map_ + b.offset + b.data_off, b.csize,
                               s.data.data(), (uint32_t)s.data.size());
@@ -337,11 +412,94 @@ class Decoder {
     }
   }
 
+  // ---- streaming reader ----------------------------------------------------
+  // Fill `n` bytes from fd_ (poll-loop so destruction can interrupt a wait on
+  // a silent producer).  Returns n, 0 on clean EOF at a member boundary
+  // (got==0), -1 on error / short read.
+  int64_t read_full(uint8_t* dst, int64_t n) {
+    int64_t got = 0;
+    while (got < n) {
+      if (stop_.load(std::memory_order_relaxed)) return -1;
+      struct pollfd p {fd_, POLLIN, 0};
+      int pr = poll(&p, 1, 200);
+      if (pr < 0) return -1;
+      if (pr == 0) continue;  // timeout: re-check stop_
+      ssize_t r = ::read(fd_, dst + got, (size_t)(n - got));
+      if (r < 0) return -1;
+      if (r == 0) return got == 0 ? 0 : -1;  // EOF
+      if (tee_fd_ >= 0) {
+        // pass-through spool (--keep-bam --stream): best-effort full write
+        int64_t w = 0;
+        while (w < r) {
+          ssize_t ww = ::write(tee_fd_, dst + got + w, (size_t)(r - w));
+          if (ww <= 0) { tee_fd_ = -1; break; }
+          w += ww;
+        }
+      }
+      got += r;
+    }
+    return got;
+  }
+
+  // One BGZF member -> ring slot.  1 = ok, 0 = clean EOF, -1 = corrupt.
+  int read_member(StreamBlock& sb) {
+    sb.raw.resize(1 << 16);
+    int64_t r = read_full(sb.raw.data(), 12);
+    if (r <= 0) return (int)r;
+    const uint8_t* p = sb.raw.data();
+    if (p[0] != 0x1f || p[1] != 0x8b || p[2] != 8 || !(p[3] & 4)) return -1;
+    uint16_t xlen;
+    memcpy(&xlen, p + 10, 2);
+    if (read_full(sb.raw.data() + 12, xlen) != xlen) return -1;
+    uint32_t bsize = 0, xo = 12;
+    while (xo + 4 <= 12u + xlen) {
+      uint8_t si1 = p[xo], si2 = p[xo + 1];
+      uint16_t slen;
+      memcpy(&slen, p + xo + 2, 2);
+      if (si1 == 66 && si2 == 67 && slen == 2) {
+        uint16_t b;
+        memcpy(&b, p + xo + 4, 2);
+        bsize = (uint32_t)b + 1;
+      }
+      xo += 4 + slen;
+    }
+    if (bsize == 0 || bsize > (1u << 16) || bsize < 12u + xlen + 8u) return -1;
+    sb.data_off = 12 + xlen;
+    int64_t rest = (int64_t)bsize - sb.data_off;
+    if (read_full(sb.raw.data() + sb.data_off, rest) != rest) return -1;
+    sb.csize = bsize - sb.data_off - 8;
+    memcpy(&sb.isize, sb.raw.data() + bsize - 4, 4);
+    if (sb.isize > (1u << 16)) return -1;
+    return 1;
+  }
+
+  void reader() {
+    int64_t i = 0;
+    while (!stop_.load(std::memory_order_relaxed)) {
+      StreamBlock& sb = sblocks_[i % kCSlots];
+      // wait until the consumer has drained member i-kCSlots
+      int spins = 0;
+      while (consumed_.load(std::memory_order_acquire) < i - kCSlots + 1) {
+        if (stop_.load(std::memory_order_relaxed)) return;
+        backoff(spins);
+      }
+      int rc = read_member(sb);
+      if (rc <= 0) {
+        if (rc < 0) stream_bad_.store(true, std::memory_order_release);
+        stream_eof_.store(true, std::memory_order_release);
+        return;
+      }
+      scanned_.store(i + 1, std::memory_order_release);
+      i++;
+    }
+  }
+
   // Pull inflated payload of block `i` (blocking until the worker finishes).
   const uint8_t* block_payload(int64_t i, uint32_t* len) {
     Slot& s = slots_[i % kSlots];
+    int spins = 0;
     while (s.block.load(std::memory_order_acquire) != i)
-      std::this_thread::yield();
+      backoff(spins);
     if (bad_block_.load(std::memory_order_acquire) == i) return nullptr;
     *len = s.len;
     return s.data.data();
@@ -353,7 +511,23 @@ class Decoder {
   // inflated inline; afterwards they come from the worker slot ring.
   bool ensure(size_t n) {
     while (buf_.size() - pos_ < n) {
-      if (next_consume_ >= (int64_t)blocks_.size()) return false;
+      if (streaming_) {
+        // wait for the reader to produce member next_consume_ (or EOF)
+        int spins = 0;
+        while (scanned_.load(std::memory_order_acquire) <= next_consume_) {
+          if (stream_eof_.load(std::memory_order_acquire) &&
+              scanned_.load(std::memory_order_acquire) <= next_consume_) {
+            if (stream_bad_.load(std::memory_order_acquire)) {
+              error = "corrupt BGZF member in stream";
+              io_error_ = true;
+            }
+            return false;
+          }
+          backoff(spins);
+        }
+      } else if (next_consume_ >= (int64_t)blocks_.size()) {
+        return false;
+      }
       if (pos_ > 0 && pos_ == buf_.size()) {
         buf_.clear();
         pos_ = 0;
@@ -684,6 +858,15 @@ class Decoder {
   int64_t next_consume_ = 0;
   bool io_error_ = false;
 
+  // streaming mode state
+  bool streaming_ = false;
+  int tee_fd_ = -1;
+  std::thread reader_;
+  StreamBlock sblocks_[kCSlots];
+  std::atomic<int64_t> scanned_{0};
+  std::atomic<bool> stream_eof_{false};
+  std::atomic<bool> stream_bad_{false};
+
   std::vector<uint8_t> buf_;
   std::vector<uint8_t> sync_buf_;
   size_t pos_ = 0;
@@ -743,6 +926,21 @@ void* bd_open_ex(const char* path, int64_t cap_frags, int n_threads,
 void* bd_open(const char* path, int64_t cap_frags, int n_threads) {
   return bd_open_ex(path, cap_frags, n_threads, kFlagDropMask, kMinMapq,
                     kMinGapAsJunction, nullptr, 0);
+}
+
+// Streaming (pipe) mode: count straight off an fd carrying a BGZF BAM stream
+// (the aligner's stdout in FastQ --stream).  The fd is dup()ed — the caller
+// keeps ownership of its descriptor.  tee_fd >= 0 spools the raw stream
+// (--keep-bam) as it is read.  Resume is not supported on pipes.
+void* bd_open_fd(int fd, int64_t cap_frags, int n_threads,
+                 int32_t flag_drop_mask, int32_t min_mapq, int32_t min_gap,
+                 int64_t blocks_per_frag, int64_t gaps_per_frag, int tee_fd) {
+  auto* d = new Decoder();
+  if (!d->open_fd(fd, cap_frags, n_threads, flag_drop_mask, min_mapq, min_gap,
+                  blocks_per_frag, gaps_per_frag, tee_fd)) {
+    // keep handle so the error is retrievable; caller must bd_close
+  }
+  return d;
 }
 
 // Serialize the resume token for the CURRENT position (call between

@@ -109,3 +109,103 @@ def test_sanitizer_smoke(lib, tmp_path, target, exe):
     )
     assert p.returncode == 0, p.stderr[-800:]
     assert "SUMMARY" not in p.stderr  # sanitizer reports print SUMMARY lines
+
+
+# ---- streaming (pipe) mode: bd_open_fd -------------------------------------
+
+def _batches_fd(fd, cap, threads=4, tee_fd=-1):
+    hdr, gen, stats = nat.decode_bam_native_fd(
+        fd, CHROM_INDEX, cap_frags=cap, n_threads=threads, tee_fd=tee_fd
+    )
+    return hdr, list(gen), stats
+
+
+@pytest.mark.parametrize("cap,threads", [(1 << 15, 4), (13, 2)])
+def test_fd_pipe_matches_file(lib, tmp_path, cap, threads):
+    """The streaming decoder off an os.pipe emits the identical batch stream
+    as the mmap file path (FastQ --stream contract, SURVEY.md §3.2)."""
+    import threading
+
+    bam = random_bam_bytes(seed=31, n_frags=400)
+    p = tmp_path / "t.bam"
+    p.write_bytes(bam)
+    _, file_b, st_f = _batches_native(str(p), cap, threads)
+
+    r_fd, w_fd = os.pipe()
+
+    def writer():
+        with os.fdopen(w_fd, "wb") as w:
+            w.write(bam)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    _, pipe_b, st_p = _batches_fd(r_fd, cap, threads)
+    t.join()
+    os.close(r_fd)
+    assert len(file_b) == len(pipe_b)
+    for i, (a, b) in enumerate(zip(file_b, pipe_b)):
+        for c in COLS:
+            np.testing.assert_array_equal(
+                getattr(a, c), getattr(b, c), err_msg=f"batch {i} col {c}"
+            )
+    assert st_f.reads_total == st_p.reads_total
+    assert st_f.fragments == st_p.fragments
+
+
+def test_fd_incremental_and_tee(lib, tmp_path):
+    """First batch must come out while the writer still holds the pipe open
+    (genuine streaming), and tee_fd must spool the raw bytes exactly."""
+    import threading
+
+    bam = random_bam_bytes(seed=32, n_frags=3000)
+    r_fd, w_fd = os.pipe()
+    got_first = threading.Event()
+    held = {}
+
+    def writer():
+        with os.fdopen(w_fd, "wb") as w:
+            w.write(bam[: len(bam) // 2])
+            w.flush()
+            held["open"] = got_first.wait(timeout=30)
+            w.write(bam[len(bam) // 2:])
+
+    t = threading.Thread(target=writer)
+    t.start()
+    tee_path = tmp_path / "spool.bam"
+    tee = open(tee_path, "wb")
+    hdr, gen, stats = nat.decode_bam_native_fd(
+        r_fd, CHROM_INDEX, cap_frags=64, tee_fd=tee.fileno()
+    )
+    n = 0
+    for b in gen:
+        n += b.n_frags
+        got_first.set()
+    t.join()
+    os.close(r_fd)
+    tee.close()
+    assert held["open"], "first batch only after pipe close: not streaming"
+    assert n == stats.fragments > 0
+    assert tee_path.read_bytes() == bam
+
+
+def test_fd_corrupt_stream(lib):
+    """A corrupt BGZF member mid-stream surfaces as ValueError, not a hang."""
+    import threading
+
+    bam = bytearray(random_bam_bytes(seed=33, n_frags=200))
+    bam[len(bam) // 2] ^= 0xFF
+    r_fd, w_fd = os.pipe()
+
+    def writer():
+        with os.fdopen(w_fd, "wb") as w:
+            try:
+                w.write(bytes(bam))
+            except BrokenPipeError:
+                pass
+
+    t = threading.Thread(target=writer)
+    t.start()
+    with pytest.raises(ValueError):
+        _batches_fd(r_fd, 1 << 15)
+    t.join()
+    os.close(r_fd)
