@@ -92,8 +92,13 @@ def main() -> None:
                 "n_reads": metrics.reads_total,
                 "wall_s": round(dt, 2),
                 "decode_s": round(metrics.decode_s, 2),
+                "h2d_s": round(metrics.h2d_s, 2),
+                "route_s": round(metrics.route_s, 2),
                 "device_s": round(metrics.device_s, 2),
                 "finalize_s": round(metrics.finalize_s, 2),
+                "route_pad_ratio": round(
+                    metrics.route_rows_padded / metrics.route_rows_real, 3
+                ) if metrics.route_rows_real else 0.0,
                 "peak_host_rss_gb": round(peak_gb, 2),
                 "n_introns": ref.n_introns,
                 "mbs": ref.mbs_size,

@@ -107,9 +107,12 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as td:
         bam = os.path.join(td, "scaling.bam")
         st = write_realistic_bam(bam, ref, n_pairs=n_pairs, seed=2)
-        t0 = time.perf_counter()
-        m0 = run_bam(ref, bam, os.path.join(td, "out0"))
-        base = time.perf_counter() - t0
+        e2e_reps = int(os.environ.get("SCALE_E2E_REPS", 2))
+        base = float("inf")
+        for r in range(e2e_reps):  # best-of: drop one-time compiles
+            t0 = time.perf_counter()
+            run_bam(ref, bam, os.path.join(td, f"out0_{r}"))
+            base = min(base, time.perf_counter() - t0)
         e2e_rows.append(
             {
                 "G": 0,
@@ -120,18 +123,24 @@ def main() -> None:
         )
         print(json.dumps(e2e_rows[-1]), file=sys.stderr)
         for G in (1, 2, 4, 8):
-            t0 = time.perf_counter()
-            run_bam_mesh(
-                ref, bam, os.path.join(td, f"outg{G}"),
-                MeshSpec(dp=1, genome=G, routed=True),
-            )
-            dt = time.perf_counter() - t0
+            dt = float("inf")
+            for r in range(e2e_reps):
+                t0 = time.perf_counter()
+                m = run_bam_mesh(
+                    ref, bam, os.path.join(td, f"outg{G}_{r}"),
+                    MeshSpec(dp=1, genome=G, routed=True),
+                )
+                dt = min(dt, time.perf_counter() - t0)
             e2e_rows.append(
                 {
                     "G": G,
                     "mode": "routed",
                     "e2e_s": round(dt, 2),
                     "e2e_reads_per_s": round(st.n_records / dt, 1),
+                    "route_s": round(m.route_s, 3),
+                    "route_pad_ratio": round(
+                        m.route_rows_padded / m.route_rows_real, 3
+                    ) if m.route_rows_real else 0.0,
                 }
             )
             print(json.dumps(e2e_rows[-1]), file=sys.stderr)

@@ -30,7 +30,10 @@ from .junctions import JuncTally
 from .io.bampy import BamHeader, decode_bam
 from .io.batch import PackedBatch
 from .ops.device_ref import DeviceRef, build_device_ref
-from .ops.step import init_counters, make_count_step, make_finalize, make_fused_step
+from .ops.step import (
+    init_counters, make_count_step, make_finalize, make_fused_step,
+    make_wire_step,
+)
 from .refio.compile import CompiledRef
 
 
@@ -89,6 +92,20 @@ def tally_junctions(tally: JuncTally, b: PackedBatch) -> None:
     tally.add_batch(b)
 
 
+#: Deferred-execution window (bytes of fused batch buffers held on device
+#: before a burst of step dispatches).  Measured on the tunneled v5e: H2D
+#: transfers collapse from ~1.2 GB/s to ~70 MB/s whenever ANY execution is
+#: in flight, regardless of batching/grouping/barriers — so the fastest
+#: schedule is to stream every batch to the device first (transfers pipeline
+#: at full bandwidth, overlapped with decode) and dispatch the whole chained
+#: step burst afterwards (0.4 s for a 10M-read stream).  The window bounds
+#: device memory for arbitrarily long streams; each mid-stream flush ends
+#: with one cheap sync so the next window's transfers are fast again.
+DEFER_WINDOW_BYTES = int(
+    float(os.environ.get("IRTPU_DEFER_MB", 1024)) * 1e6
+)
+
+
 class Engine:
     """One reference map + compiled counting step; per-sample state lives in
     SampleState (reset() re-creates the default one).  Counting is
@@ -102,6 +119,14 @@ class Engine:
         self._step = make_count_step()
         self._finalize = make_finalize()
         self._st: SampleState | None = None
+        # transfer/execute interleaving is only pathological on the tunneled
+        # TPU transport; CPU (tests, virtual meshes) keeps eager dispatch so
+        # compute overlaps decode across cores
+        _defer = os.environ.get("IRTPU_DEFER", "1")
+        self._defer_exec = _defer == "force" or (
+            jax.default_backend() == "tpu" and _defer != "0"
+        )
+        self._flush_pending = None  # set while run_stream is active
         # device-side finalize statistics (ops/finalize_stats.py): skip the
         # O(mbs) depth pull + host flatten on real TPUs; the CPU test backend
         # keeps the host path so oracle comparisons see the full depth array.
@@ -117,21 +142,27 @@ class Engine:
         if self._device_stats:
             # the finalize index tables are a pure function of the ref and
             # take ~30s of host flattening at whole-genome MBS
-            # (ops/finalize_stats.build_finalize_ref): build them on a
-            # background thread so they overlap the counting loop instead of
-            # serializing into the first finalize
-            import threading
+            # (ops/finalize_stats.build_finalize_ref): CACHE them on the ref
+            # object (a fresh Engine per run_bam call otherwise rebuilds them
+            # DURING the stream, stealing decode CPU — measured ~2s of decode
+            # contention per rep on the 2-vCPU box), and build on a
+            # background thread on first use so the counting loop overlaps
+            self._finref = getattr(ref, "_irtpu_finref", None)
+            if self._finref is None:
+                import threading
 
-            def _bg():
-                from .ops.finalize_stats import build_finalize_ref
+                def _bg():
+                    from .ops.finalize_stats import build_finalize_ref
 
-                try:
-                    self._finref = build_finalize_ref(self.ref)
-                except Exception:
-                    pass  # surfaced by the synchronous build at finalize
+                    try:
+                        fr = build_finalize_ref(self.ref)
+                        object.__setattr__(self.ref, "_irtpu_finref", fr)
+                        self._finref = fr
+                    except Exception:
+                        pass  # surfaced by the synchronous build at finalize
 
-            self._finref_thread = threading.Thread(target=_bg, daemon=True)
-            self._finref_thread.start()
+                self._finref_thread = threading.Thread(target=_bg, daemon=True)
+                self._finref_thread.start()
 
     def _get_finref(self):
         if self._finref_thread is not None:
@@ -141,6 +172,7 @@ class Engine:
             from .ops.finalize_stats import build_finalize_ref
 
             self._finref = build_finalize_ref(self.ref)
+            object.__setattr__(self.ref, "_irtpu_finref", self._finref)
         return self._finref
 
     # -- lifecycle -----------------------------------------------------------
@@ -191,36 +223,61 @@ class Engine:
     def _tally_junctions(st: SampleState, b: PackedBatch) -> None:
         tally_junctions(st.junc_tally, b)
 
+    def flush_pending(self) -> None:
+        """Execute any deferred step window NOW (checkpoint snapshots need
+        counters to reflect every tallied batch; no-op outside run_stream or
+        when eager dispatch is active)."""
+        if self._flush_pending is not None:
+            self._flush_pending(True)
+
     def run_stream(
         self,
         batches: Iterable[PackedBatch],
         st: SampleState | None = None,
         on_batch=None,
         skip: int = 0,
+        lut=None,
     ) -> None:
-        """Pipelined streaming: a feeder thread pulls batches from the
-        decoder (the native bd_next_batch call releases the GIL, so C++
-        parse/inflate genuinely overlaps the main thread) AND ships each
-        fused H2D buffer (device_put blocks for ~bytes/bandwidth on the
-        tunneled link — doing it on the feeder overlaps the transfer with
-        the main thread's step dispatch and junction tally), with a bounded
-        two-batch prefetch window.
+        """Three-stage pipelined streaming: a DECODE thread pulls batches
+        from the decoder (the native bd_next_batch call releases the GIL, so
+        C++ parse/inflate genuinely overlaps everything else), a separate H2D
+        thread ships each fused buffer (device_put blocks for
+        ~bytes/bandwidth on the tunneled link — round 3 ran decode and H2D
+        serially on ONE feeder, so their costs ADDED into the wall; splitting
+        them overlaps transfer with decode), and the consumer dispatches the
+        step + junction tally.  Bounded two-batch windows between stages.
 
         on_batch(done): optional per-batch hook on the consumer side (the
         checkpoint cadence of run_bam rides here, so checkpointed runs keep
         the full decode/H2D overlap instead of a synchronous loop).
-        skip: discard this many leading batches in the feeder without H2D
-        (legacy token-less checkpoint resume re-decodes the prefix)."""
+        skip: discard this many leading batches in the decode stage without
+        H2D (legacy token-less checkpoint resume re-decodes the prefix)."""
         import queue
         import threading
 
-        q: "queue.Queue" = queue.Queue(maxsize=2)
+        q1: "queue.Queue" = queue.Queue(maxsize=2)  # decode -> h2d
+        q2: "queue.Queue" = queue.Queue(maxsize=2)  # h2d -> consumer
         SENTINEL = object()
         stop = threading.Event()
         st_ = st or self._st
         m = st_.metrics
+        # packed wire format (io/batch.py pack_wire): used on the deferred
+        # TPU path when the caller supplies the refid->chrom LUT — shipped
+        # bytes drop 68 -> 36 per fragment row, which is the e2e ceiling on
+        # the 25-75 MB/s tunneled link
+        use_wire = self._defer_exec and lut is not None
+        lut_dev = jax.device_put(np.asarray(lut, np.int32)) if use_wire else None
 
-        def feeder():
+        def bounded_put(q, item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def decode_feeder():
             try:
                 n_skipped = 0
                 it = iter(batches)
@@ -234,41 +291,101 @@ class Engine:
                     if n_skipped < skip:
                         n_skipped += 1
                         continue
-                    t0 = time.perf_counter()
-                    flat = jax.device_put(b.fused_h2d())
-                    m.h2d_s += time.perf_counter() - t0
-                    while not stop.is_set():
-                        try:
-                            q.put((b, flat), timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not bounded_put(q1, b):
                         return
-                q.put(SENTINEL)
+                q1.put(SENTINEL)
             except BaseException as e:  # surfaced on the consumer side
-                q.put(e)
+                q1.put(e)
 
-        t = threading.Thread(target=feeder, daemon=True)
-        t.start()
+        def h2d_feeder():
+            try:
+                while True:
+                    item = q1.get()
+                    if item is SENTINEL or isinstance(item, BaseException):
+                        q2.put(item)
+                        return
+                    t0 = time.perf_counter()
+                    if use_wire:
+                        w = item.wire
+                        if w is None:
+                            from .io.batch import pack_wire
+
+                            w = pack_wire(item)
+                        flat = jax.device_put(w)
+                    else:
+                        flat = jax.device_put(item.fused_h2d())
+                    m.h2d_s += time.perf_counter() - t0
+                    if not bounded_put(q2, (item, flat)):
+                        return
+            except BaseException as e:
+                q2.put(e)
+
+        t_dec = threading.Thread(target=decode_feeder, daemon=True)
+        t_h2d = threading.Thread(target=h2d_feeder, daemon=True)
+        t_dec.start()
+        t_h2d.start()
         done = 0
+        # deferred-execution window (see DEFER_WINDOW_BYTES): batches land on
+        # device during the stream; the step burst dispatches at window
+        # boundaries / stream end so transfers never interleave with execs
+        window: list = []
+        window_bytes = 0
+
+        def flush(sync: bool = True) -> None:
+            nonlocal window, window_bytes
+            if not window:
+                return
+            t0 = time.perf_counter()
+            for b_, flat_ in window:
+                if use_wire:
+                    stp = make_wire_step(b_.cap_blocks, b_.cap_frags)
+                    st_.counters = stp(self.dref, st_.counters, flat_, lut_dev)
+                else:
+                    stp = make_fused_step(b_.cap_blocks, b_.cap_frags)
+                    st_.counters = stp(self.dref, st_.counters, flat_)
+                st_.metrics.batches += 1
+                if b_.resume_token is not None:
+                    st_.resume_token = b_.resume_token
+            window = []
+            window_bytes = 0
+            if sync:
+                # cheap end-of-burst sync so the next window's transfers see
+                # an idle execution stream (block_until_ready is unreliable
+                # through the tunnel; a 1-element D2H pull cannot lie)
+                np.asarray(st_.counters["cnt"][0:1])
+            st_.metrics.device_s += time.perf_counter() - t0
+
+        self._flush_pending = flush
         try:
             while True:
-                item = q.get()
+                item = q2.get()
                 if item is SENTINEL:
                     break
                 if isinstance(item, BaseException):
                     raise item
                 b, flat = item
-                self.process_batch(b, st, fused_dev=flat)
+                if self._defer_exec:
+                    self._tally_junctions(st_, b)
+                    window.append((b, flat))
+                    window_bytes += flat.nbytes
+                    if window_bytes >= DEFER_WINDOW_BYTES:
+                        flush(sync=True)
+                else:
+                    self.process_batch(b, st, fused_dev=flat)
                 done += 1
                 if on_batch is not None:
                     on_batch(done)
+            # sync the final burst too: the finalize/stats D2H pulls suffer
+            # the same transfer collapse as H2D while step execs are in
+            # flight, so results_async must start on an idle device
+            flush(sync=True)
         finally:
-            # a consumer error must not leave the feeder blocked on a full
-            # queue holding the decoder open
+            self._flush_pending = None
+            # a consumer error must not leave the feeders blocked on full
+            # queues holding the decoder open
             stop.set()
-            t.join()
+            t_dec.join()
+            t_h2d.join()
 
     def run_multi_stream(self, streams: "list[tuple]") -> None:
         """Config D's pipeline: one feeder thread PER sample (decode +
@@ -279,16 +396,24 @@ class Engine:
         arrived first — arrival order is irrelevant because counters are
         per-sample and add-associative.
 
-        streams: list of (batch_iterable, SampleState).  Per-sample
-        metrics.decode_s measures the feeder's blocking time in its decoder
-        (true per-sample attribution; feeders overlap, so the sum can exceed
-        wall time)."""
+        streams: list of (batch_iterable, SampleState[, chrom_lut]).
+        Per-sample metrics.decode_s measures the feeder's blocking time in
+        its decoder (true per-sample attribution; feeders overlap, so the
+        sum can exceed wall time)."""
         import queue
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=max(4, 2 * len(streams)))
         DONE = object()
         stop = threading.Event()
+        streams = [s if len(s) == 3 else (s[0], s[1], None) for s in streams]
+        # packed wire format on the deferred TPU path (run_stream rationale)
+        use_wire = self._defer_exec and all(s[2] is not None for s in streams)
+        lut_dev = (
+            {id(s[1]): jax.device_put(np.asarray(s[2], np.int32)) for s in streams}
+            if use_wire
+            else {}
+        )
 
         def feeder(batches, st):
             try:
@@ -301,7 +426,15 @@ class Engine:
                         break
                     st.metrics.decode_s += time.perf_counter() - t0
                     t0 = time.perf_counter()
-                    flat = jax.device_put(b.fused_h2d())
+                    if use_wire:
+                        w = b.wire
+                        if w is None:
+                            from .io.batch import pack_wire
+
+                            w = pack_wire(b)
+                        flat = jax.device_put(w)
+                    else:
+                        flat = jax.device_put(b.fused_h2d())
                     st.metrics.h2d_s += time.perf_counter() - t0
                     while not stop.is_set():
                         try:
@@ -317,11 +450,42 @@ class Engine:
 
         threads = [
             threading.Thread(target=feeder, args=(it_, st_), daemon=True)
-            for it_, st_ in streams
+            for it_, st_, _lut in streams
         ]
         for t in threads:
             t.start()
         live = len(streams)
+        # deferred burst execution, exactly as run_stream (samples interleave
+        # in the window; counters are per-sample so order is irrelevant)
+        window: list = []
+        window_bytes = 0
+
+        def flush(sync: bool = True) -> None:
+            nonlocal window, window_bytes
+            if not window:
+                return
+            t0 = time.perf_counter()
+            last_st = None
+            for b_, st_, flat_ in window:
+                if use_wire:
+                    stp = make_wire_step(b_.cap_blocks, b_.cap_frags)
+                    st_.counters = stp(
+                        self.dref, st_.counters, flat_, lut_dev[id(st_)]
+                    )
+                else:
+                    stp = make_fused_step(b_.cap_blocks, b_.cap_frags)
+                    st_.counters = stp(self.dref, st_.counters, flat_)
+                st_.metrics.batches += 1
+                if b_.resume_token is not None:
+                    st_.resume_token = b_.resume_token
+                last_st = st_
+            window = []
+            window_bytes = 0
+            if sync and last_st is not None:
+                np.asarray(last_st.counters["cnt"][0:1])
+            if last_st is not None:
+                last_st.metrics.device_s += time.perf_counter() - t0
+
         try:
             while live:
                 item = q.get()
@@ -331,7 +495,15 @@ class Engine:
                 if isinstance(item, BaseException):
                     raise item
                 b, st, flat = item
-                self.process_batch(b, st, fused_dev=flat)
+                if self._defer_exec:
+                    self._tally_junctions(st, b)
+                    window.append((b, st, flat))
+                    window_bytes += flat.nbytes
+                    if window_bytes >= DEFER_WINDOW_BYTES:
+                        flush(sync=True)
+                else:
+                    self.process_batch(b, st, fused_dev=flat)
+            flush(sync=False)
         finally:
             stop.set()
             for t in threads:
@@ -482,6 +654,7 @@ def open_decoder(
     n_threads: int = 4,
     resume_token: bytes | None = None,
     long_reads: bool = False,
+    full_columns: bool = True,
 ):
     """Pick the decoder: the multithreaded native C++ decoder for file paths
     (SURVEY.md §2 row 7), the pure-Python decoder for file objects or when the
@@ -509,6 +682,7 @@ def open_decoder(
                     str(bam), chrom_index, cap_frags=cap_frags,
                     n_threads=n_threads, resume_token=resume_token,
                     blocks_per_frag=bpf, gaps_per_frag=gpf,
+                    full_columns=full_columns,
                 )
             except (RuntimeError, OSError, AssertionError):
                 pass  # no toolchain / build failure: fall through to Python
@@ -541,6 +715,7 @@ def open_decoder(
                     fd, chrom_index, cap_frags=cap_frags,
                     n_threads=n_threads, blocks_per_frag=bpf,
                     gaps_per_frag=gpf, tee_fd=tee_fd,
+                    full_columns=full_columns,
                 )
             except (RuntimeError, OSError, AssertionError):
                 pass  # fall through to the pure-Python decoder
@@ -608,7 +783,7 @@ def run_bam(
         skip = 0
         header, batches, stats = open_decoder(
             ref, bam, cap_frags, use_native, n_threads, resume_token=token,
-            long_reads=long_reads,
+            long_reads=long_reads, full_columns=not engine._defer_exec,
         )
         if ck is not None:
             engine._st = restore_state(engine, ck)
@@ -631,6 +806,7 @@ def run_bam(
             if time.perf_counter() - last_snap[0] < 4.0 * _snap_cost[0]:
                 return
             t0s = time.perf_counter()
+            engine.flush_pending()  # counters must cover every tallied batch
             save_checkpoint(checkpoint, engine._st)
             dt = time.perf_counter() - t0s
             engine.metrics.checkpoint_s += dt
@@ -641,13 +817,14 @@ def run_bam(
         # on the feeder thread) as plain runs; snapshots happen between
         # consumer steps (round-2 checkpointed config C lost 4.6x to a
         # synchronous fallback loop here)
-        engine.run_stream(batches, on_batch=maybe_snapshot, skip=skip)
+        engine.run_stream(batches, on_batch=maybe_snapshot, skip=skip, lut=header.chrom_lut)
     else:
         header, batches, stats = open_decoder(
-            ref, bam, cap_frags, use_native, n_threads, long_reads=long_reads
+            ref, bam, cap_frags, use_native, n_threads, long_reads=long_reads,
+            full_columns=not engine._defer_exec,
         )
         engine.reset(n_refids=len(header.ref_names))
-        engine.run_stream(batches)
+        engine.run_stream(batches, lut=header.chrom_lut)
     # decode_s / h2d_s are measured directly on the feeder (blocking decoder
     # pulls vs device_put); the remainder of the stream wall is queue overlap
     # dispatch the finalize/stats device programs, then write the
@@ -703,11 +880,16 @@ def run_multi_bam(
     engine = Engine(ref, cap_frags=cap_frags)
     streams = []
     for path in bams:
-        header, batches, stats = open_decoder(ref, path, cap_frags, use_native, n_threads)
+        header, batches, stats = open_decoder(
+            ref, path, cap_frags, use_native, n_threads,
+            full_columns=not engine._defer_exec,
+        )
         st = engine.new_state(n_refids=len(header.ref_names))
         streams.append({"it": batches, "st": st, "hdr": header, "stats": stats})
 
-    engine.run_multi_stream([(s["it"], s["st"]) for s in streams])
+    engine.run_multi_stream(
+        [(s["it"], s["st"], s["hdr"].chrom_lut) for s in streams]
+    )
 
     out_metrics = []
     # dispatch every sample's finalize + stats programs first, then unpack:

@@ -202,21 +202,34 @@ class MeshEngine:
             or os.environ.get("IRTPU_DEVICE_STATS") == "1"
         )
         self._stats_interpret = jax.default_backend() != "tpu"
+        # deferred burst execution (engine.DEFER_WINDOW_BYTES rationale):
+        # only on the tunneled TPU transport
+        _defer = os.environ.get("IRTPU_DEFER", "1")
+        self._defer_exec = _defer == "force" or (
+            jax.default_backend() == "tpu" and _defer != "0"
+        )
+        self._flush_pending = None
         self._finref = None
         self._finref_thread = None
         if self._device_stats:
-            import threading
+            # cached on the ref object exactly as Engine does — rebuilding
+            # per MeshEngine steals decode CPU during the stream
+            self._finref = getattr(ref, "_irtpu_finref", None)
+            if self._finref is None:
+                import threading
 
-            def _bg():
-                from .ops.finalize_stats import build_finalize_ref
+                def _bg():
+                    from .ops.finalize_stats import build_finalize_ref
 
-                try:
-                    self._finref = build_finalize_ref(self.ref)
-                except Exception:
-                    pass
+                    try:
+                        fr = build_finalize_ref(self.ref)
+                        object.__setattr__(self.ref, "_irtpu_finref", fr)
+                        self._finref = fr
+                    except Exception:
+                        pass
 
-            self._finref_thread = threading.Thread(target=_bg, daemon=True)
-            self._finref_thread.start()
+                self._finref_thread = threading.Thread(target=_bg, daemon=True)
+                self._finref_thread.start()
 
     def _get_finref(self):
         if self._finref_thread is not None:
@@ -226,7 +239,14 @@ class MeshEngine:
             from .ops.finalize_stats import build_finalize_ref
 
             self._finref = build_finalize_ref(self.ref)
+            object.__setattr__(self.ref, "_irtpu_finref", self._finref)
         return self._finref
+
+    def flush_pending(self) -> None:
+        """Execute any deferred step window NOW (checkpoint snapshots need
+        counters covering every tallied batch)."""
+        if self._flush_pending is not None:
+            self._flush_pending(True)
 
     # -- lifecycle ------------------------------------------------------------
     def new_state(self, n_refids: int) -> SampleState:
@@ -322,13 +342,23 @@ class MeshEngine:
         import queue
         import threading
 
-        q: "queue.Queue" = queue.Queue(maxsize=2)
+        q1: "queue.Queue" = queue.Queue(maxsize=2)  # decode -> route/put
+        q2: "queue.Queue" = queue.Queue(maxsize=2)  # route/put -> consumer
         SENTINEL = object()
         stop = threading.Event()
 
         m = st.metrics
 
-        def feeder():
+        def bounded_put(q, item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def decode_feeder():
             try:
                 it = iter(batches)
                 while True:
@@ -338,37 +368,90 @@ class MeshEngine:
                     except StopIteration:
                         break
                     m.decode_s += time.perf_counter() - t0
-                    placed = self.prep_batch(b, m)
-                    while not stop.is_set():
-                        try:
-                            q.put((b, placed), timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not bounded_put(q1, b):
                         return
-                q.put(SENTINEL)
+                q1.put(SENTINEL)
             except BaseException as e:
-                q.put(e)
+                q1.put(e)
 
-        t = threading.Thread(target=feeder, daemon=True)
-        t.start()
+        def prep_feeder():
+            # host routing + sharded device_put, overlapped with decode
+            # (engine.run_stream splits the same way — serial decode+H2D on
+            # one feeder ADDED their costs into the wall)
+            try:
+                while True:
+                    item = q1.get()
+                    if item is SENTINEL or isinstance(item, BaseException):
+                        q2.put(item)
+                        return
+                    placed = self.prep_batch(item, m)
+                    if not bounded_put(q2, (item, placed)):
+                        return
+            except BaseException as e:
+                q2.put(e)
+
+        t_dec = threading.Thread(target=decode_feeder, daemon=True)
+        t_prep = threading.Thread(target=prep_feeder, daemon=True)
+        t_dec.start()
+        t_prep.start()
         done = 0
+        # deferred burst execution on the tunneled TPU, exactly as
+        # engine.run_stream (see engine.DEFER_WINDOW_BYTES): transfers must
+        # not interleave with executions
+        from .engine import DEFER_WINDOW_BYTES
+
+        window: list = []
+        window_bytes = 0
+
+        def placed_bytes(placed) -> int:
+            return sum(
+                getattr(v, "nbytes", 0) for v in jax.tree_util.tree_leaves(placed)
+            )
+
+        def flush(sync: bool = True) -> None:
+            nonlocal window, window_bytes
+            if not window:
+                return
+            t0 = time.perf_counter()
+            for b_, placed_ in window:
+                st.counters = self._step(self.sdref, st.counters, placed_)
+                st.metrics.batches += 1
+                if b_.resume_token is not None:
+                    st.resume_token = b_.resume_token
+            window = []
+            window_bytes = 0
+            if sync:
+                np.asarray(
+                    jax.tree_util.tree_leaves(st.counters)[0].reshape(-1)[0:1]
+                )
+            st.metrics.device_s += time.perf_counter() - t0
+
+        self._flush_pending = flush
         try:
             while True:
-                item = q.get()
+                item = q2.get()
                 if item is SENTINEL:
                     break
                 if isinstance(item, BaseException):
                     raise item
                 b, placed = item
-                self.process_batch(b, st, placed=placed)
+                if self._defer_exec:
+                    tally_junctions(st.junc_tally, b)
+                    window.append((b, placed))
+                    window_bytes += placed_bytes(placed)
+                    if window_bytes >= DEFER_WINDOW_BYTES:
+                        flush(sync=True)
+                else:
+                    self.process_batch(b, st, placed=placed)
                 done += 1
                 if on_batch is not None:
                     on_batch(done)
+            flush(sync=False)
         finally:
+            self._flush_pending = None
             stop.set()
-            t.join()
+            t_dec.join()
+            t_prep.join()
 
     # -- finalize ---------------------------------------------------------------
     def results_async(self, st: SampleState):
@@ -501,6 +584,7 @@ def run_bam_mesh(
             if time.perf_counter() - last_snap[0] < 4.0 * _snap_cost[0]:
                 return
             t0s = time.perf_counter()
+            eng.flush_pending()  # counters must cover every tallied batch
             save_checkpoint(checkpoint, st)
             dt = time.perf_counter() - t0s
             st.metrics.checkpoint_s += dt

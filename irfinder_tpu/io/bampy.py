@@ -35,6 +35,9 @@ class BamHeader:
     text: str
     ref_names: list
     ref_lengths: list
+    #: refid -> compiled chrom id LUT (int32, -1 unknown), filled by the
+    #: decoders; the wire-format step derives frag_chrom from it on device
+    chrom_lut: object = None
 
 
 @dataclasses.dataclass
@@ -448,6 +451,7 @@ def decode_bam(
     lut = np.array(
         [chrom_index.get(nm, -1) for nm in header.ref_names], dtype=np.int32
     ).reshape(len(header.ref_names))
+    header.chrom_lut = lut
     stats = DecodeStats()
 
     def gen() -> Iterator[PackedBatch]:

@@ -70,6 +70,9 @@ class PackedBatch:
     # of nine (each put through the tunneled PJRT link costs ~0.2-0.5 ms of
     # latency; 9 puts were ~3x the cost of one fused transfer, measured)
     _fused: np.ndarray | None = None
+    # packed wire buffer (pack_wire layout, 36 B/frag vs fused's 68) — the
+    # native decoder pre-builds it; engine lazily packs when absent
+    wire: np.ndarray | None = None
     # opaque decoder-state token (shared format between the native and Python
     # decoders, see io/bampy.py): re-opening the BAM with this token
     # reproduces the stream AFTER this batch — the checkpoint/resume seek
@@ -168,6 +171,105 @@ def unpack_fused(flat, cap_blocks: int, cap_frags: int) -> dict:
     for i, nm in enumerate(names_f):
         out[nm] = flat[o + i * cap_frags : o + (i + 1) * cap_frags]
     return out
+
+
+#: Packed wire format (H2D): the tunneled-TPU link runs at ~25-75 MB/s
+#: effective (content-dependent — the transport compresses), so shipped
+#: bytes ARE the e2e throughput on weak links.  The wire buffer packs the
+#: nine device-bound int32 columns into five words/fragment-row:
+#:   [blk_start (B,) | blk_meta (B,) | frag_start (F,) | frag_end (F,) |
+#:    frag_meta (F,)]
+#:   blk_meta  = len:18 | chrom:13 | strand:1   (chrom 0x1FFF = pad)
+#:   frag_meta = refid:31 | strand:1            (refid -1 = pad, via
+#:                                               arithmetic >> on device)
+#: frag_chrom is NOT shipped — the device derives it from refid through the
+#: per-BAM chrom LUT (one tiny put per run).  36 B/frag vs the fused
+#: buffer's 68 B/frag; the zeroed padding regions compress on the wire.
+WIRE_LEN_BITS = 18
+WIRE_CHROM_PAD = 0x1FFF  # 13-bit chrom field sentinel
+WIRE_MAX_BLOCK_LEN = (1 << WIRE_LEN_BITS) - 1
+
+
+def pack_wire(b: "PackedBatch") -> np.ndarray:
+    """Host-side wire packing from a PackedBatch's columns (the native
+    decoder builds the same layout straight from its C views — see
+    native/bamdecode.py _pack_wire_from_views; both must stay bit-equal)."""
+    return pack_wire_cols(
+        b.blk_chrom, b.blk_start, b.blk_end, b.blk_strand,
+        b.frag_refid, b.frag_start, b.frag_end, b.frag_strand,
+    )
+
+
+def pack_wire_cols(
+    blk_chrom, blk_start, blk_end, blk_strand,
+    frag_refid, frag_start, frag_end, frag_strand,
+) -> np.ndarray:
+    B = blk_chrom.shape[0]
+    F = frag_refid.shape[0]
+    out = np.empty(2 * B + 3 * F, np.int32)
+    pad_b = blk_chrom < 0
+    # pad lanes may carry stale start/end from recycled decoder buffers:
+    # zero them so the wire's padding region stays compressible and the
+    # block-length cap check only sees real lanes
+    ln = np.where(pad_b, 0, blk_end.astype(np.int64) - blk_start)
+    if ln.size and int(ln.max()) > WIRE_MAX_BLOCK_LEN:
+        raise ValueError(
+            f"aligned block longer than {WIRE_MAX_BLOCK_LEN} bases "
+            "(corrupt CIGAR? wire format caps block length at 2^18)"
+        )
+    cfield = np.where(pad_b, WIRE_CHROM_PAD, blk_chrom).astype(np.uint32)
+    meta = (
+        (ln.astype(np.uint32) << 14)
+        | (cfield << 1)
+        | (np.where(pad_b, 0, blk_strand).astype(np.uint32) & 1)
+    )
+    out[0:B] = np.where(pad_b, 0, blk_start)
+    out[B : 2 * B] = meta.view(np.int32)
+    o = 2 * B
+    pad_f = frag_refid < 0
+    out[o : o + F] = np.where(pad_f, 0, frag_start)
+    out[o + F : o + 2 * F] = np.where(pad_f, 0, frag_end)
+    fmeta = (
+        (frag_refid.astype(np.int64) << 1)
+        | (np.where(pad_f, 0, frag_strand).astype(np.int64) & 1)
+    ).astype(np.int32)
+    out[o + 2 * F : o + 3 * F] = fmeta
+    return out
+
+
+def unpack_wire(flat, cap_blocks: int, cap_frags: int, lut) -> dict:
+    """Device-side inverse of pack_wire (jnp; runs inside the jitted wire
+    step).  `lut` maps BAM refid -> compiled chrom id (-1 unknown)."""
+    import jax.numpy as jnp
+
+    B, F = cap_blocks, cap_frags
+    bs = flat[0:B]
+    bm = flat[B : 2 * B]
+    o = 2 * B
+    fs = flat[o : o + F]
+    fe = flat[o + F : o + 2 * F]
+    fm = flat[o + 2 * F : o + 3 * F]
+    ln = (bm >> 14) & ((1 << WIRE_LEN_BITS) - 1)
+    c13 = (bm >> 1) & 0x1FFF
+    blk_chrom = jnp.where(c13 == WIRE_CHROM_PAD, -1, c13)
+    refid = fm >> 1  # arithmetic: pad -1 survives
+    n = lut.shape[0]
+    frag_chrom = jnp.where(
+        (refid >= 0) & (refid < n),
+        lut[jnp.clip(refid, 0, n - 1)],
+        -1,
+    )
+    return {
+        "blk_chrom": blk_chrom,
+        "blk_start": bs,
+        "blk_end": bs + ln,
+        "blk_strand": bm & 1,
+        "frag_chrom": frag_chrom,
+        "frag_refid": refid,
+        "frag_start": fs,
+        "frag_end": fe,
+        "frag_strand": fm & 1,
+    }
 
 
 def device_batch(arrays: dict) -> dict:

@@ -15,7 +15,7 @@ from typing import Iterator
 import numpy as np
 
 from ..io.bampy import BamHeader, DecodeStats
-from ..io.batch import PackedBatch
+from ..io.batch import PackedBatch, pack_wire_cols
 from .. import semantics as S
 from . import ensure_built
 
@@ -86,6 +86,10 @@ def _fill_col(dst: np.ndarray, ptr, n_used: int) -> None:
         dst[:n_used] = np.ctypeslib.as_array(ptr, shape=(n_used,))
 
 
+def _view(ptr, n: int) -> np.ndarray:
+    return np.ctypeslib.as_array(ptr, shape=(n,))
+
+
 def decode_bam_native(
     path: str,
     chrom_index: dict,
@@ -94,6 +98,7 @@ def decode_bam_native(
     resume_token: bytes | None = None,
     blocks_per_frag: int = 3,
     gaps_per_frag: int = 1,
+    full_columns: bool = True,
 ):
     """Native analog of io.bampy.decode_bam, file-path based.
 
@@ -115,7 +120,7 @@ def decode_bam_native(
         resume_token, len(resume_token) if resume_token else 0,
         blocks_per_frag, gaps_per_frag,
     )
-    return _wrap_handle(lib, h, chrom_index)
+    return _wrap_handle(lib, h, chrom_index, full_columns)
 
 
 def decode_bam_native_fd(
@@ -126,6 +131,7 @@ def decode_bam_native_fd(
     blocks_per_frag: int = 3,
     gaps_per_frag: int = 1,
     tee_fd: int = -1,
+    full_columns: bool = True,
 ):
     """Streaming analog of decode_bam_native: count straight off a file
     descriptor carrying a BGZF BAM stream (the aligner pipe in FastQ
@@ -142,10 +148,10 @@ def decode_bam_native_fd(
         S.FLAG_DROP_MASK, S.MIN_MAPQ, S.MIN_GAP_AS_JUNCTION,
         blocks_per_frag, gaps_per_frag, tee_fd,
     )
-    return _wrap_handle(lib, h, chrom_index)
+    return _wrap_handle(lib, h, chrom_index, full_columns)
 
 
-def _wrap_handle(lib, h, chrom_index: dict):
+def _wrap_handle(lib, h, chrom_index: dict, full_columns: bool = True):
     err = lib.bd_error(h)
     if err:
         msg = err.decode()
@@ -161,6 +167,7 @@ def _wrap_handle(lib, h, chrom_index: dict):
     header = BamHeader("", names, lengths)
     lut = np.array([chrom_index.get(nm, -1) for nm in names], dtype=np.int32)
     lut = np.ascontiguousarray(lut)
+    header.chrom_lut = lut
     lib.bd_set_chrom_lut(h, lut.ctypes.data_as(_I32P), len(lut))
     stats = DecodeStats()
 
@@ -177,15 +184,35 @@ def _wrap_handle(lib, h, chrom_index: dict):
                 pb = PackedBatch.empty(
                     int(view.cap_blocks), int(view.cap_gaps), int(view.cap_frags)
                 )
-                for nm, n in (
-                    ("blk_chrom", nb), ("blk_start", nb),
-                    ("blk_end", nb), ("blk_strand", nb),
+                cols = [
                     ("gap_chrom", ng), ("gap_start", ng),
                     ("gap_end", ng), ("gap_strand", ng),
-                    ("frag_chrom", nf), ("frag_refid", nf),
-                    ("frag_start", nf), ("frag_end", nf), ("frag_strand", nf),
-                ):
+                ]
+                if full_columns:
+                    cols += [
+                        ("blk_chrom", nb), ("blk_start", nb),
+                        ("blk_end", nb), ("blk_strand", nb),
+                        ("frag_chrom", nf), ("frag_refid", nf),
+                        ("frag_start", nf), ("frag_end", nf),
+                        ("frag_strand", nf),
+                    ]
+                for nm, n in cols:
                     _fill_col(getattr(pb, nm), getattr(view, nm), n)
+                # packed wire buffer straight from the C views (the fast
+                # path skips the nine int32 column copies entirely)
+                pb.wire = pack_wire_cols(
+                    *(_view(getattr(view, nm), cap)
+                      for nm, cap in (
+                          ("blk_chrom", pb.cap_blocks),
+                          ("blk_start", pb.cap_blocks),
+                          ("blk_end", pb.cap_blocks),
+                          ("blk_strand", pb.cap_blocks),
+                          ("frag_refid", pb.cap_frags),
+                          ("frag_start", pb.cap_frags),
+                          ("frag_end", pb.cap_frags),
+                          ("frag_strand", pb.cap_frags),
+                      ))
+                )
                 pb.n_blocks, pb.n_gaps, pb.n_frags = nb, ng, nf
                 pb.n_reads = int(view.n_reads)
                 need = lib.bd_token(h, None, 0)

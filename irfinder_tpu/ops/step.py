@@ -244,6 +244,26 @@ def make_fused_step(cap_blocks: int, cap_frags: int):
     return step
 
 
+def make_wire_step(cap_blocks: int, cap_frags: int):
+    """Jitted step over the PACKED wire buffer (io/batch.py pack_wire:
+    36 B/frag vs the fused buffer's 68) plus the per-BAM refid->chrom LUT.
+    Shipped bytes are the e2e ceiling on weak host links (the tunneled v5e
+    measures 25-75 MB/s effective H2D) — unpacking on device (shifts+masks,
+    fused into the step by XLA) halves the wire cost."""
+    key = ("wire", cap_blocks, cap_frags)
+    step = _JIT_CACHE.get(key)
+    if step is None:
+        from ..io.batch import unpack_wire
+
+        def wstep(dref, counters, flat, lut):
+            return count_step(
+                dref, counters, unpack_wire(flat, cap_blocks, cap_frags, lut)
+            )
+
+        step = _JIT_CACHE[key] = jax.jit(wstep, donate_argnums=(1,))
+    return step
+
+
 def make_finalize():
     fin = _JIT_CACHE.get("finalize")
     if fin is None:

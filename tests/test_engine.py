@@ -143,3 +143,67 @@ def test_run_bam_end_to_end(ref, tmp_path):
         c = int(np.searchsorted(ref.upair_seg, i, side="right")) - 1
         key = (c, int(ref.upair_start[i]), int(ref.upair_end[i]))
         assert tally.get(key, 0) == int(orc.exact_cnt[:, i].sum())
+
+
+def test_deferred_exec_equality(tmp_path, monkeypatch):
+    """IRTPU_DEFER=force (the tunneled-TPU burst schedule) must produce the
+    byte-identical table set as eager dispatch, including with a mid-stream
+    window flush (tiny window) and checkpoint snapshots."""
+    import importlib
+    import os as _os
+
+    from irfinder_tpu import engine as E
+    from irfinder_tpu.io.bamgen import write_realistic_bam
+    from irfinder_tpu.synth import synth_ref
+
+    ref = synth_ref(n_genes=30)
+    bam = str(tmp_path / "d.bam")
+    write_realistic_bam(bam, ref, n_pairs=8000, seed=9)
+    m0 = E.run_bam(ref, bam, str(tmp_path / "eager"))
+
+    monkeypatch.setenv("IRTPU_DEFER", "force")
+    monkeypatch.setattr(E, "DEFER_WINDOW_BYTES", 1 << 20)  # force mid-flushes
+    m1 = E.run_bam(ref, bam, str(tmp_path / "defer"))
+    m2 = E.run_bam(
+        ref, bam, str(tmp_path / "defer_ck"),
+        checkpoint=str(tmp_path / "ck.snap"), checkpoint_every=2,
+    )
+    for t in (
+        "IRFinder-IR-nondir.txt", "IRFinder-IR-dir.txt",
+        "IRFinder-JuncCount.txt", "IRFinder-SpansPoint.txt",
+        "IRFinder-ROI.txt", "IRFinder-ChrCoverage.txt",
+    ):
+        a = (tmp_path / "eager" / t).read_bytes()
+        assert a == (tmp_path / "defer" / t).read_bytes(), t
+        assert a == (tmp_path / "defer_ck" / t).read_bytes(), t
+    assert m1.batches == m0.batches
+
+
+def test_wire_pack_unpack_roundtrip():
+    """pack_wire -> unpack_wire reproduces the nine device-bound columns
+    exactly (frag_chrom via the refid LUT), incl. pad-lane sentinels."""
+    import numpy as np
+
+    from irfinder_tpu.io.batch import pack_wire, unpack_wire
+    from irfinder_tpu.io.bamgen import write_realistic_bam
+    from irfinder_tpu.engine import open_decoder
+    from irfinder_tpu.synth import synth_ref
+
+    ref = synth_ref(n_genes=20)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        bam = os.path.join(td, "w.bam")
+        write_realistic_bam(bam, ref, n_pairs=4000, seed=4)
+        hdr, batches, _ = open_decoder(ref, bam, use_native=True)
+        lut = np.asarray(hdr.chrom_lut, np.int32)
+        n_checked = 0
+        for b in batches:
+            wire = b.wire if b.wire is not None else pack_wire(b)
+            got = unpack_wire(wire, b.cap_blocks, b.cap_frags, lut)
+            want = b.device_arrays()
+            for k in want:
+                np.testing.assert_array_equal(
+                    np.asarray(got[k]), want[k], err_msg=k
+                )
+            n_checked += 1
+        assert n_checked > 0

@@ -117,3 +117,24 @@ def test_mesh_spec_parse():
     assert MeshSpec.parse("genome=8") == MeshSpec(1, 8, False)
     with pytest.raises(ValueError):
         MeshSpec.parse("tp=2")
+
+
+def test_auto_genome_bins():
+    """Whole-genome maps get a bin count whose per-bin rank tables fit the
+    Pallas VMEM budget; small maps stay unsharded (round-3 verdict #4)."""
+    from irfinder_tpu.engine_mesh import auto_genome_bins
+    from irfinder_tpu.ops.pallas_rank import MAX_NB
+    from irfinder_tpu.parallel.genome import plan_shards
+    from irfinder_tpu.synth import synth_ref
+
+    small = synth_ref(n_genes=40)
+    assert auto_genome_bins(small) == 1
+
+    big = synth_ref(n_genes=18_000, n_chroms=24, chrom_len=2_000_000_000, seed=0)
+    limit = MAX_NB * 128 - 1
+    if big.uspan_start.size <= limit and big.point_coord.size <= limit:
+        pytest.skip("synthetic map unexpectedly fits the kernel budget")
+    G = auto_genome_bins(big)
+    assert G > 1
+    pads = plan_shards(big, G).pads
+    assert pads["uspan"] <= limit and pads["point"] <= limit
