@@ -135,6 +135,30 @@ def _make_binned_step(n_bins: int):
     return step
 
 
+def _make_binned_wire_step(n_bins: int, cap_blocks: int, cap_frags: int):
+    """Binned step over the PACKED wire buffer (io/batch.py pack_wire on the
+    ROUTED flat columns; caps are the routed G*cell totals).  Wire bytes are
+    the e2e ceiling on the tunneled link — 36 B/frag-row vs the column
+    dict's 68 (engine.make_wire_step rationale)."""
+    key = ("binned_wire", n_bins, cap_blocks, cap_frags)
+    step = _JIT_CACHE.get(key)
+    if step is None:
+        from .io.batch import unpack_wire
+
+        def bwstep(sdref, counters, flat, lut):
+            cols = unpack_wire(flat, cap_blocks, cap_frags, lut)
+            batch = {k: v.reshape(n_bins, -1) for k, v in cols.items()}
+
+            def one(args):
+                d, c, b = args
+                return count_step(d, c, b)
+
+            return jax.lax.map(one, (sdref, counters, batch))
+
+        step = _JIT_CACHE[key] = jax.jit(bwstep, donate_argnums=(1,))
+    return step
+
+
 class MeshEngine:
     """One genome-sharded reference + one compiled sharded step; per-sample
     state in engine.SampleState (counters carry mesh shardings).
@@ -289,11 +313,16 @@ class MeshEngine:
         return st
 
     # -- accumulation ----------------------------------------------------------
-    def prep_batch(self, b: PackedBatch, m: RunMetrics | None = None):
+    def prep_batch(self, b: PackedBatch, m: RunMetrics | None = None, wire: bool = False):
         """Host side of one batch: pad to the dp split, route by owning
         chromosome (routed modes), reshape for the binned form, and place on
         the mesh.  Runs on the feeder thread in run_stream.  `m` attributes
-        routing vs H2D time and the routed padding inflation."""
+        routing vs H2D time and the routed padding inflation.
+
+        wire=True (binned deferred path): pack the routed flat columns into
+        the io/batch.py wire buffer and return (flat_dev, cap_blocks,
+        cap_frags) instead of a placed column dict — halves the shipped
+        bytes on the tunneled link."""
         arrays = pad_batch_to_multiple(b.device_arrays(), self.spec.dp)
         if self.routed:
             t0 = time.perf_counter()
@@ -307,6 +336,25 @@ class MeshEngine:
             G = self.spec.dp * self.spec.genome
             self._min_caps[0] = max(self._min_caps[0], len(arrays["blk_chrom"]) // G)
             self._min_caps[1] = max(self._min_caps[1], len(arrays["frag_chrom"]) // G)
+            if wire:
+                from .io.batch import pack_wire_cols
+
+                cb, cf = len(arrays["blk_chrom"]), len(arrays["frag_chrom"])
+                w = pack_wire_cols(
+                    arrays["blk_chrom"], arrays["blk_start"],
+                    arrays["blk_end"], arrays["blk_strand"],
+                    arrays["frag_refid"], arrays["frag_start"],
+                    arrays["frag_end"], arrays["frag_strand"],
+                )
+                if m is not None:
+                    m.route_s += time.perf_counter() - t0
+                    m.route_rows_real += int(b.n_frags)
+                    m.route_rows_padded += cf
+                t1 = time.perf_counter()
+                flat = jax.device_put(w)
+                if m is not None:
+                    m.h2d_s += time.perf_counter() - t1
+                return (flat, cb, cf)
             if self.binned:
                 arrays = {
                     k: v.reshape(self.spec.genome, -1) for k, v in arrays.items()
@@ -333,12 +381,14 @@ class MeshEngine:
         tally_junctions(st.junc_tally, b)
 
     def run_stream(
-        self, batches: Iterable[PackedBatch], st: SampleState, on_batch=None
+        self, batches: Iterable[PackedBatch], st: SampleState, on_batch=None,
+        lut=None,
     ) -> None:
         """Same feeder/consumer overlap as Engine.run_stream: decode + host
         routing + sharded device_put on the feeder thread, step dispatch +
         junction tally on the consumer.  on_batch(done): consumer-side hook
-        (checkpoint cadence of run_bam_mesh)."""
+        (checkpoint cadence of run_bam_mesh).  `lut` (refid->chrom) engages
+        the packed wire format on the binned deferred path."""
         import queue
         import threading
 
@@ -348,6 +398,8 @@ class MeshEngine:
         stop = threading.Event()
 
         m = st.metrics
+        use_wire = self.binned and self._defer_exec and lut is not None
+        lut_dev = jax.device_put(np.asarray(lut, np.int32)) if use_wire else None
 
         def bounded_put(q, item) -> bool:
             while not stop.is_set():
@@ -384,7 +436,7 @@ class MeshEngine:
                     if item is SENTINEL or isinstance(item, BaseException):
                         q2.put(item)
                         return
-                    placed = self.prep_batch(item, m)
+                    placed = self.prep_batch(item, m, wire=use_wire)
                     if not bounded_put(q2, (item, placed)):
                         return
             except BaseException as e:
@@ -414,7 +466,12 @@ class MeshEngine:
                 return
             t0 = time.perf_counter()
             for b_, placed_ in window:
-                st.counters = self._step(self.sdref, st.counters, placed_)
+                if use_wire:
+                    flat_, cb_, cf_ = placed_
+                    stp = _make_binned_wire_step(self.spec.genome, cb_, cf_)
+                    st.counters = stp(self.sdref, st.counters, flat_, lut_dev)
+                else:
+                    st.counters = self._step(self.sdref, st.counters, placed_)
                 st.metrics.batches += 1
                 if b_.resume_token is not None:
                     st.resume_token = b_.resume_token
@@ -596,7 +653,7 @@ def run_bam_mesh(
             ref, bam, cap_frags, use_native, n_threads, long_reads=long_reads
         )
         st = eng.new_state(n_refids=len(header.ref_names))
-    eng.run_stream(batches, st, on_batch=on_batch)
+    eng.run_stream(batches, st, on_batch=on_batch, lut=header.chrom_lut)
     # decode_s/route_s/h2d_s were measured directly on the feeder thread
     # dispatch the finalize/stats programs, then write the stats-independent
     # JuncCount table while they run (engine.run_bam does the same)

@@ -138,3 +138,31 @@ def test_auto_genome_bins():
     assert G > 1
     pads = plan_shards(big, G).pads
     assert pads["uspan"] <= limit and pads["point"] <= limit
+
+
+def test_binned_wire_deferred_equality(tmp_path, monkeypatch):
+    """The binned form's packed-wire deferred path (what whole-genome
+    auto-bin runs on the TPU) must match the unsharded eager run byte for
+    byte."""
+    from irfinder_tpu import engine as E
+    from irfinder_tpu.engine_mesh import MeshSpec, run_bam_mesh
+    from irfinder_tpu.io.bamgen import write_realistic_bam
+    from irfinder_tpu.synth import synth_ref
+
+    ref = synth_ref(n_genes=30)
+    bam = str(tmp_path / "bw.bam")
+    write_realistic_bam(bam, ref, n_pairs=6000, seed=11)
+    E.run_bam(ref, bam, str(tmp_path / "eager"))
+
+    monkeypatch.setenv("IRTPU_DEFER", "force")
+    run_bam_mesh(
+        ref, bam, str(tmp_path / "binned"), MeshSpec(dp=1, genome=4)
+    )
+    for t in (
+        "IRFinder-IR-nondir.txt", "IRFinder-IR-dir.txt",
+        "IRFinder-JuncCount.txt", "IRFinder-SpansPoint.txt",
+        "IRFinder-ROI.txt", "IRFinder-ChrCoverage.txt",
+    ):
+        assert (tmp_path / "eager" / t).read_bytes() == (
+            tmp_path / "binned" / t
+        ).read_bytes(), t
