@@ -307,15 +307,30 @@ def route_flat_batch(
         g_of = np.searchsorted(bounds, chrom, side="right") - 1
         g_of = np.clip(g_of, 0, n_g - 1)
         cell = dp_of * n_g + g_of
-        # stable order within each cell preserves read order per shard
-        order = np.argsort(np.where(valid, cell, n_dp * n_g), kind="stable")
-        cellcnt = np.bincount(cell[valid], minlength=n_dp * n_g)
+        n_cells = n_dp * n_g
+        if n_dp == 1 and n_g <= 16:
+            # fast path (the binned single-device form routes EVERY batch
+            # through here — measured 42.7 s of host argsort across a 50M-read
+            # config C run): G flatnonzero passes replace the stable sort,
+            # preserving in-cell order by construction
+            parts = [np.flatnonzero(valid & (g_of == g)) for g in range(n_g)]
+            cellcnt = np.array([p.size for p in parts], dtype=np.int64)
+            src = (
+                np.concatenate(parts)
+                if parts
+                else np.zeros(0, np.int64)
+            )
+            cell_sorted = np.repeat(np.arange(n_cells), cellcnt)
+        else:
+            # stable order within each cell preserves read order per shard
+            order = np.argsort(np.where(valid, cell, n_cells), kind="stable")
+            cellcnt = np.bincount(cell[valid], minlength=n_cells)
+            n_valid = int(valid.sum())
+            src = order[:n_valid]  # valid rows, grouped by cell
+            cell_sorted = cell[src]
         cap = max(lane, int(min_cap), _round_cap(int(cellcnt.max())))
         cap = int(-(-cap // lane) * lane)
-        n_valid = int(valid.sum())
-        src = order[:n_valid]  # valid rows, grouped by cell
-        cell_sorted = cell[src]
-        within = np.arange(n_valid) - np.repeat(
+        within = np.arange(len(src)) - np.repeat(
             np.concatenate([[0], np.cumsum(cellcnt)[:-1]]), cellcnt
         )
         dst = cell_sorted * cap + within
