@@ -158,11 +158,33 @@ class Engine:
                         fr = build_finalize_ref(self.ref)
                         object.__setattr__(self.ref, "_irtpu_finref", fr)
                         self._finref = fr
+                        self._prewarm_stats(fr)
                     except Exception:
                         pass  # surfaced by the synchronous build at finalize
 
                 self._finref_thread = threading.Thread(target=_bg, daemon=True)
                 self._finref_thread.start()
+
+    def _prewarm_stats(self, fr) -> None:
+        """Load the fused stats program + its device index tables DURING the
+        stream (one zero-depth execution on the background finref thread):
+        a fresh process otherwise pays the remote executable load + table
+        H2D serially inside the first finalize — measured 217 s of the
+        300 s fresh-process config C wall.  TPU only; harmless no-op cost
+        elsewhere is avoided entirely."""
+        import jax.numpy as jnp
+
+        if jax.default_backend() != "tpu" or os.environ.get("IRTPU_PREWARM") == "0":
+            return
+        try:
+            from .ops.finalize_stats import device_all_stats_async
+
+            z = jnp.zeros((2, int(self.ref.mbs_size)), jnp.int32)
+            device_all_stats_async(
+                self.ref, fr, z, False, interpret=self._stats_interpret
+            )()
+        except Exception:
+            pass  # prewarm is best-effort; the real finalize surfaces errors
 
     def _get_finref(self):
         if self._finref_thread is not None:
@@ -265,7 +287,11 @@ class Engine:
         # TPU path when the caller supplies the refid->chrom LUT — shipped
         # bytes drop 68 -> 36 per fragment row, which is the e2e ceiling on
         # the 25-75 MB/s tunneled link
-        use_wire = self._defer_exec and lut is not None
+        use_wire = (
+            self._defer_exec
+            and lut is not None
+            and len(self.ref.chroms) < 0x1FFF  # 13-bit wire chrom field
+        )
         lut_dev = jax.device_put(np.asarray(lut, np.int32)) if use_wire else None
 
         def bounded_put(q, item) -> bool:
@@ -408,7 +434,11 @@ class Engine:
         stop = threading.Event()
         streams = [s if len(s) == 3 else (s[0], s[1], None) for s in streams]
         # packed wire format on the deferred TPU path (run_stream rationale)
-        use_wire = self._defer_exec and all(s[2] is not None for s in streams)
+        use_wire = (
+            self._defer_exec
+            and all(s[2] is not None for s in streams)
+            and len(self.ref.chroms) < 0x1FFF
+        )
         lut_dev = (
             {id(s[1]): jax.device_put(np.asarray(s[2], np.int32)) for s in streams}
             if use_wire

@@ -249,11 +249,38 @@ class MeshEngine:
                         fr = build_finalize_ref(self.ref)
                         object.__setattr__(self.ref, "_irtpu_finref", fr)
                         self._finref = fr
+                        self._prewarm_stats(fr)
                     except Exception:
                         pass
 
                 self._finref_thread = threading.Thread(target=_bg, daemon=True)
                 self._finref_thread.start()
+
+    def _prewarm_stats(self, fr) -> None:
+        """Load the fused stats program + its device index tables DURING the
+        stream (one zero-depth execution on the background finref thread):
+        a fresh process otherwise pays the remote executable load + table
+        H2D serially inside the first finalize — measured 217 s of the
+        300 s fresh-process config C wall.  TPU only; harmless no-op cost
+        elsewhere is avoided entirely."""
+        import jax.numpy as jnp
+
+        if jax.default_backend() != "tpu" or os.environ.get("IRTPU_PREWARM") == "0":
+            return
+        try:
+            from .ops.finalize_stats import device_all_stats_async
+
+            # zeros-depth dummy execution: loads the stats executable and
+            # ships its index tables while the stream runs.  (Chaining
+            # through the depth-reassemble program too was tried and OOMs
+            # HBM at whole-genome scale — stacked zero counters + depth +
+            # the real counters + the wire window exceed the chip.)
+            z = jnp.zeros((2, int(self.ref.mbs_size)), jnp.int32)
+            device_all_stats_async(
+                self.ref, fr, z, False, interpret=self._stats_interpret
+            )()
+        except Exception:
+            pass  # prewarm is best-effort; the real finalize surfaces errors
 
     def _get_finref(self):
         if self._finref_thread is not None:
@@ -398,7 +425,10 @@ class MeshEngine:
         stop = threading.Event()
 
         m = st.metrics
-        use_wire = self.binned and self._defer_exec and lut is not None
+        use_wire = (
+            self.binned and self._defer_exec and lut is not None
+            and len(self.ref.chroms) < 0x1FFF  # 13-bit wire chrom field
+        )
         lut_dev = jax.device_put(np.asarray(lut, np.int32)) if use_wire else None
 
         def bounded_put(q, item) -> bool:

@@ -217,6 +217,12 @@ def pack_wire_cols(
             f"aligned block longer than {WIRE_MAX_BLOCK_LEN} bases "
             "(corrupt CIGAR? wire format caps block length at 2^18)"
         )
+    if blk_chrom.size and int(blk_chrom.max()) >= WIRE_CHROM_PAD:
+        raise ValueError(
+            f"compiled chrom id >= {WIRE_CHROM_PAD}: reference has too many "
+            "contigs for the 13-bit wire chrom field (engine falls back to "
+            "the fused buffer for such refs)"
+        )
     cfield = np.where(pad_b, WIRE_CHROM_PAD, blk_chrom).astype(np.uint32)
     meta = (
         (ln.astype(np.uint32) << 14)
