@@ -127,6 +127,12 @@ class Engine:
             jax.default_backend() == "tpu" and _defer != "0"
         )
         self._flush_pending = None  # set while run_stream is active
+        #: the packed wire format is usable iff execution is deferred AND the
+        #: ref fits the 13-bit wire chrom field; decoder column skipping
+        #: (full_columns) and run_stream's use_wire MUST both key off this
+        #: one predicate — disagreement would ship never-filled pad columns
+        #: and produce silently-zero tables
+        self.wire_ok = self._defer_exec and len(ref.chroms) < 0x1FFF
         # device-side finalize statistics (ops/finalize_stats.py): skip the
         # O(mbs) depth pull + host flatten on real TPUs; the CPU test backend
         # keeps the host path so oracle comparisons see the full depth array.
@@ -287,11 +293,7 @@ class Engine:
         # TPU path when the caller supplies the refid->chrom LUT — shipped
         # bytes drop 68 -> 36 per fragment row, which is the e2e ceiling on
         # the 25-75 MB/s tunneled link
-        use_wire = (
-            self._defer_exec
-            and lut is not None
-            and len(self.ref.chroms) < 0x1FFF  # 13-bit wire chrom field
-        )
+        use_wire = self.wire_ok and lut is not None
         lut_dev = jax.device_put(np.asarray(lut, np.int32)) if use_wire else None
 
         def bounded_put(q, item) -> bool:
@@ -319,16 +321,21 @@ class Engine:
                         continue
                     if not bounded_put(q1, b):
                         return
-                q1.put(SENTINEL)
+                bounded_put(q1, SENTINEL)
             except BaseException as e:  # surfaced on the consumer side
-                q1.put(e)
+                bounded_put(q1, e)
 
         def h2d_feeder():
             try:
                 while True:
-                    item = q1.get()
+                    try:
+                        item = q1.get(timeout=0.5)
+                    except queue.Empty:
+                        if stop.is_set():
+                            return
+                        continue
                     if item is SENTINEL or isinstance(item, BaseException):
-                        q2.put(item)
+                        bounded_put(q2, item)
                         return
                     t0 = time.perf_counter()
                     if use_wire:
@@ -433,12 +440,20 @@ class Engine:
         DONE = object()
         stop = threading.Event()
         streams = [s if len(s) == 3 else (s[0], s[1], None) for s in streams]
+
+        def bounded_put(q_, item) -> bool:
+            # stop-aware put: a consumer error must never leave a feeder
+            # blocked on a full queue (or the join hangs forever)
+            while not stop.is_set():
+                try:
+                    q_.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         # packed wire format on the deferred TPU path (run_stream rationale)
-        use_wire = (
-            self._defer_exec
-            and all(s[2] is not None for s in streams)
-            and len(self.ref.chroms) < 0x1FFF
-        )
+        use_wire = self.wire_ok and all(s[2] is not None for s in streams)
         lut_dev = (
             {id(s[1]): jax.device_put(np.asarray(s[2], np.int32)) for s in streams}
             if use_wire
@@ -474,9 +489,9 @@ class Engine:
                             continue
                     if stop.is_set():
                         return
-                q.put(DONE)
+                bounded_put(q, DONE)
             except BaseException as e:
-                q.put(e)
+                bounded_put(q, e)
 
         threads = [
             threading.Thread(target=feeder, args=(it_, st_), daemon=True)
@@ -494,9 +509,9 @@ class Engine:
             nonlocal window, window_bytes
             if not window:
                 return
-            t0 = time.perf_counter()
             last_st = None
             for b_, st_, flat_ in window:
+                t0 = time.perf_counter()
                 if use_wire:
                     stp = make_wire_step(b_.cap_blocks, b_.cap_frags)
                     st_.counters = stp(
@@ -505,6 +520,9 @@ class Engine:
                 else:
                     stp = make_fused_step(b_.cap_blocks, b_.cap_frags)
                     st_.counters = stp(self.dref, st_.counters, flat_)
+                # per-sample attribution: each batch's dispatch time lands on
+                # ITS sample (config D metrics.json feeds the benches)
+                st_.metrics.device_s += time.perf_counter() - t0
                 st_.metrics.batches += 1
                 if b_.resume_token is not None:
                     st_.resume_token = b_.resume_token
@@ -512,8 +530,8 @@ class Engine:
             window = []
             window_bytes = 0
             if sync and last_st is not None:
+                t0 = time.perf_counter()
                 np.asarray(last_st.counters["cnt"][0:1])
-            if last_st is not None:
                 last_st.metrics.device_s += time.perf_counter() - t0
 
         try:
@@ -533,7 +551,9 @@ class Engine:
                         flush(sync=True)
                 else:
                     self.process_batch(b, st, fused_dev=flat)
-            flush(sync=False)
+            # sync the final burst: the per-sample finalize/stats pulls that
+            # follow suffer the transfer collapse while execs are in flight
+            flush(sync=True)
         finally:
             stop.set()
             for t in threads:
@@ -813,7 +833,7 @@ def run_bam(
         skip = 0
         header, batches, stats = open_decoder(
             ref, bam, cap_frags, use_native, n_threads, resume_token=token,
-            long_reads=long_reads, full_columns=not engine._defer_exec,
+            long_reads=long_reads, full_columns=not engine.wire_ok,
         )
         if ck is not None:
             engine._st = restore_state(engine, ck)
@@ -851,7 +871,7 @@ def run_bam(
     else:
         header, batches, stats = open_decoder(
             ref, bam, cap_frags, use_native, n_threads, long_reads=long_reads,
-            full_columns=not engine._defer_exec,
+            full_columns=not engine.wire_ok,
         )
         engine.reset(n_refids=len(header.ref_names))
         engine.run_stream(batches, lut=header.chrom_lut)
@@ -912,7 +932,7 @@ def run_multi_bam(
     for path in bams:
         header, batches, stats = open_decoder(
             ref, path, cap_frags, use_native, n_threads,
-            full_columns=not engine._defer_exec,
+            full_columns=not engine.wire_ok,
         )
         st = engine.new_state(n_refids=len(header.ref_names))
         streams.append({"it": batches, "st": st, "hdr": header, "stats": stats})

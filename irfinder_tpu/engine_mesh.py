@@ -452,9 +452,9 @@ class MeshEngine:
                     m.decode_s += time.perf_counter() - t0
                     if not bounded_put(q1, b):
                         return
-                q1.put(SENTINEL)
+                bounded_put(q1, SENTINEL)
             except BaseException as e:
-                q1.put(e)
+                bounded_put(q1, e)
 
         def prep_feeder():
             # host routing + sharded device_put, overlapped with decode
@@ -462,15 +462,20 @@ class MeshEngine:
             # one feeder ADDED their costs into the wall)
             try:
                 while True:
-                    item = q1.get()
+                    try:
+                        item = q1.get(timeout=0.5)
+                    except queue.Empty:
+                        if stop.is_set():
+                            return
+                        continue
                     if item is SENTINEL or isinstance(item, BaseException):
-                        q2.put(item)
+                        bounded_put(q2, item)
                         return
                     placed = self.prep_batch(item, m, wire=use_wire)
                     if not bounded_put(q2, (item, placed)):
                         return
             except BaseException as e:
-                q2.put(e)
+                bounded_put(q2, e)
 
         t_dec = threading.Thread(target=decode_feeder, daemon=True)
         t_prep = threading.Thread(target=prep_feeder, daemon=True)
@@ -533,7 +538,10 @@ class MeshEngine:
                 done += 1
                 if on_batch is not None:
                     on_batch(done)
-            flush(sync=False)
+            # sync the final burst: the reassemble/stats pulls in
+            # results_async suffer the transfer collapse while step execs
+            # are in flight (engine.run_stream rationale)
+            flush(sync=True)
         finally:
             self._flush_pending = None
             stop.set()

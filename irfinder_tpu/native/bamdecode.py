@@ -198,21 +198,25 @@ def _wrap_handle(lib, h, chrom_index: dict, full_columns: bool = True):
                     ]
                 for nm, n in cols:
                     _fill_col(getattr(pb, nm), getattr(view, nm), n)
-                # packed wire buffer straight from the C views (the fast
-                # path skips the nine int32 column copies entirely)
-                pb.wire = pack_wire_cols(
-                    *(_view(getattr(view, nm), cap)
-                      for nm, cap in (
-                          ("blk_chrom", pb.cap_blocks),
-                          ("blk_start", pb.cap_blocks),
-                          ("blk_end", pb.cap_blocks),
-                          ("blk_strand", pb.cap_blocks),
-                          ("frag_refid", pb.cap_frags),
-                          ("frag_start", pb.cap_frags),
-                          ("frag_end", pb.cap_frags),
-                          ("frag_strand", pb.cap_frags),
-                      ))
-                )
+                # packed wire buffer straight from the C views, ONLY on
+                # the production (column-skipping) path: full-column callers
+                # (mesh routing, CPU/eager, oracle) never read pb.wire, and
+                # pack_wire_cols' format limits (13-bit chrom, 2^18 block
+                # len) must not fail paths that don't use the wire
+                if not full_columns:
+                    pb.wire = pack_wire_cols(
+                        *(_view(getattr(view, nm), cap)
+                          for nm, cap in (
+                              ("blk_chrom", pb.cap_blocks),
+                              ("blk_start", pb.cap_blocks),
+                              ("blk_end", pb.cap_blocks),
+                              ("blk_strand", pb.cap_blocks),
+                              ("frag_refid", pb.cap_frags),
+                              ("frag_start", pb.cap_frags),
+                              ("frag_end", pb.cap_frags),
+                              ("frag_strand", pb.cap_frags),
+                          ))
+                    )
                 pb.n_blocks, pb.n_gaps, pb.n_frags = nb, ng, nf
                 pb.n_reads = int(view.n_reads)
                 need = lib.bd_token(h, None, 0)

@@ -428,11 +428,17 @@ class Decoder {
       if (r < 0) return -1;
       if (r == 0) return got == 0 ? 0 : -1;  // EOF
       if (tee_fd_ >= 0) {
-        // pass-through spool (--keep-bam --stream): best-effort full write
+        // pass-through spool (--keep-bam --stream): a failed write must
+        // FAIL the run — a silently truncated Unsorted.bam is corrupt
+        // output the user has no signal about (disk full, closed sink)
         int64_t w = 0;
         while (w < r) {
           ssize_t ww = ::write(tee_fd_, dst + got + w, (size_t)(r - w));
-          if (ww <= 0) { tee_fd_ = -1; break; }
+          if (ww <= 0) {
+            tee_fd_ = -1;
+            tee_failed_.store(true, std::memory_order_release);
+            return -1;
+          }
           w += ww;
         }
       }
@@ -450,6 +456,9 @@ class Decoder {
     if (p[0] != 0x1f || p[1] != 0x8b || p[2] != 8 || !(p[3] & 4)) return -1;
     uint16_t xlen;
     memcpy(&xlen, p + 10, 2);
+    // a valid BGZF member is <= 64KiB total; a corrupt xlen claiming more
+    // would otherwise overflow the fixed ring buffer below
+    if (12u + xlen + 8u > sb.raw.size()) return -1;
     if (read_full(sb.raw.data() + 12, xlen) != xlen) return -1;
     uint32_t bsize = 0, xo = 12;
     while (xo + 4 <= 12u + xlen) {
@@ -518,7 +527,9 @@ class Decoder {
           if (stream_eof_.load(std::memory_order_acquire) &&
               scanned_.load(std::memory_order_acquire) <= next_consume_) {
             if (stream_bad_.load(std::memory_order_acquire)) {
-              error = "corrupt BGZF member in stream";
+              error = tee_failed_.load(std::memory_order_acquire)
+                          ? "tee write failed (--keep-bam sink: disk full?)"
+                          : "corrupt BGZF member in stream";
               io_error_ = true;
             }
             return false;
@@ -866,6 +877,7 @@ class Decoder {
   std::atomic<int64_t> scanned_{0};
   std::atomic<bool> stream_eof_{false};
   std::atomic<bool> stream_bad_{false};
+  std::atomic<bool> tee_failed_{false};
 
   std::vector<uint8_t> buf_;
   std::vector<uint8_t> sync_buf_;

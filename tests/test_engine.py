@@ -207,3 +207,36 @@ def test_wire_pack_unpack_roundtrip():
                 )
             n_checked += 1
         assert n_checked > 0
+
+
+def test_consumer_error_propagates_without_hanging(tmp_path, monkeypatch):
+    """A consumer-side failure mid-stream must propagate promptly (the
+    three-stage pipeline's feeders must never block forever on a queue once
+    the consumer is gone — stop-aware puts/gets everywhere)."""
+    import time as _time
+
+    from irfinder_tpu import engine as E
+    from irfinder_tpu.io.bamgen import write_realistic_bam
+    from irfinder_tpu.synth import synth_ref
+
+    ref = synth_ref(n_genes=30)
+    bam = str(tmp_path / "h.bam")
+    write_realistic_bam(bam, ref, n_pairs=20000, seed=13)
+    eng = E.Engine(ref)
+    hdr, batches, _ = E.open_decoder(ref, bam, cap_frags=256)
+    eng.reset(n_refids=len(hdr.ref_names))
+
+    class Boom(Exception):
+        pass
+
+    calls = {"n": 0}
+
+    def on_batch(done):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise Boom()
+
+    t0 = _time.monotonic()
+    with pytest.raises(Boom):
+        eng.run_stream(batches, on_batch=on_batch, lut=hdr.chrom_lut)
+    assert _time.monotonic() - t0 < 30, "run_stream hung after consumer error"
