@@ -14,7 +14,12 @@ int main(int argc, char** argv) {
     return 2;
   }
   int threads = argc > 2 ? atoi(argv[2]) : 4;
-  void* h = bd_open(argv[1], 1 << 12, threads);
+  // "-" reads a BGZF stream from stdin through the streaming (pipe) path —
+  // sanitizer runs then exercise the reader thread + compressed ring too
+  void* h = (argv[1][0] == '-' && argv[1][1] == 0)
+                ? bd_open_fd(0, 1 << 12, threads, kFlagDropMask, kMinMapq,
+                             kMinGapAsJunction, 3, 1, -1)
+                : bd_open(argv[1], 1 << 12, threads);
   if (bd_error(h)[0]) {
     fprintf(stderr, "open error: %s\n", bd_error(h));
     bd_close(h);

@@ -109,6 +109,16 @@ def test_sanitizer_smoke(lib, tmp_path, target, exe):
     )
     assert p.returncode == 0, p.stderr[-800:]
     assert "SUMMARY" not in p.stderr  # sanitizer reports print SUMMARY lines
+    # streaming (pipe) mode: same decode through the reader thread +
+    # compressed ring; checksums must match the file path exactly
+    with open(bam, "rb") as fh:
+        ps = subprocess.run(
+            [os.path.join(d, exe), "-", "8"], stdin=fh,
+            capture_output=True, text=True, timeout=120,
+        )
+    assert ps.returncode == 0, ps.stderr[-800:]
+    assert "SUMMARY" not in ps.stderr
+    assert ps.stdout == p.stdout, "stream checksum != file checksum"
 
 
 # ---- streaming (pipe) mode: bd_open_fd -------------------------------------
