@@ -105,6 +105,67 @@ DEFER_WINDOW_BYTES = int(
     float(os.environ.get("IRTPU_DEFER_MB", 1024)) * 1e6
 )
 
+#: end-of-stream marker shared by the pipelined streams
+STREAM_END = object()
+
+
+def q_put(q, item, stop) -> bool:
+    """Stop-aware queue put: a consumer error must never leave a feeder
+    blocked on a full queue (the finally-join would hang forever)."""
+    import queue as _queue
+
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.5)
+            return True
+        except _queue.Full:
+            continue
+    return False
+
+
+def q_get(q, stop):
+    """Stop-aware queue get for intermediate pipeline stages; returns
+    STREAM_END once stopped so the stage exits cleanly."""
+    import queue as _queue
+
+    while True:
+        try:
+            return q.get(timeout=0.5)
+        except _queue.Empty:
+            if stop.is_set():
+                return STREAM_END
+
+
+class DeferredWindow:
+    """Deferred burst-execution window shared by the three pipelined
+    streams (DEFER_WINDOW_BYTES rationale): items accumulate on device; the
+    step burst dispatches at window boundaries via `exec_one`, and `sync`
+    (a 1-element D2H pull — block_until_ready is unreliable through the
+    tunnel) leaves the execution stream idle so the next window's transfers
+    run at full bandwidth."""
+
+    def __init__(self, exec_one, sync_pull, limit: int = None):
+        self._items: list = []
+        self._bytes = 0
+        self._exec_one = exec_one
+        self._sync_pull = sync_pull
+        self._limit = DEFER_WINDOW_BYTES if limit is None else limit
+
+    def add(self, item, nbytes: int) -> None:
+        self._items.append(item)
+        self._bytes += nbytes
+        if self._bytes >= self._limit:
+            self.flush(sync=True)
+
+    def flush(self, sync: bool = True) -> None:
+        if not self._items:
+            return
+        items, self._items, self._bytes = self._items, [], 0
+        for it in items:
+            self._exec_one(it)
+        if sync:
+            self._sync_pull()
+
 
 class Engine:
     """One reference map + compiled counting step; per-sample state lives in
@@ -285,7 +346,6 @@ class Engine:
 
         q1: "queue.Queue" = queue.Queue(maxsize=2)  # decode -> h2d
         q2: "queue.Queue" = queue.Queue(maxsize=2)  # h2d -> consumer
-        SENTINEL = object()
         stop = threading.Event()
         st_ = st or self._st
         m = st_.metrics
@@ -295,15 +355,6 @@ class Engine:
         # the 25-75 MB/s tunneled link
         use_wire = self.wire_ok and lut is not None
         lut_dev = jax.device_put(np.asarray(lut, np.int32)) if use_wire else None
-
-        def bounded_put(q, item) -> bool:
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.5)
-                    return True
-                except queue.Full:
-                    continue
-            return False
 
         def decode_feeder():
             try:
@@ -319,23 +370,18 @@ class Engine:
                     if n_skipped < skip:
                         n_skipped += 1
                         continue
-                    if not bounded_put(q1, b):
+                    if not q_put(q1, b, stop):
                         return
-                bounded_put(q1, SENTINEL)
+                q_put(q1, STREAM_END, stop)
             except BaseException as e:  # surfaced on the consumer side
-                bounded_put(q1, e)
+                q_put(q1, e, stop)
 
         def h2d_feeder():
             try:
                 while True:
-                    try:
-                        item = q1.get(timeout=0.5)
-                    except queue.Empty:
-                        if stop.is_set():
-                            return
-                        continue
-                    if item is SENTINEL or isinstance(item, BaseException):
-                        bounded_put(q2, item)
+                    item = q_get(q1, stop)
+                    if item is STREAM_END or isinstance(item, BaseException):
+                        q_put(q2, item, stop)
                         return
                     t0 = time.perf_counter()
                     if use_wire:
@@ -348,61 +394,49 @@ class Engine:
                     else:
                         flat = jax.device_put(item.fused_h2d())
                     m.h2d_s += time.perf_counter() - t0
-                    if not bounded_put(q2, (item, flat)):
+                    if not q_put(q2, (item, flat), stop):
                         return
             except BaseException as e:
-                q2.put(e)
+                q_put(q2, e, stop)
 
         t_dec = threading.Thread(target=decode_feeder, daemon=True)
         t_h2d = threading.Thread(target=h2d_feeder, daemon=True)
         t_dec.start()
         t_h2d.start()
         done = 0
-        # deferred-execution window (see DEFER_WINDOW_BYTES): batches land on
-        # device during the stream; the step burst dispatches at window
-        # boundaries / stream end so transfers never interleave with execs
-        window: list = []
-        window_bytes = 0
 
-        def flush(sync: bool = True) -> None:
-            nonlocal window, window_bytes
-            if not window:
-                return
+        def exec_one(item) -> None:
+            b_, flat_ = item
             t0 = time.perf_counter()
-            for b_, flat_ in window:
-                if use_wire:
-                    stp = make_wire_step(b_.cap_blocks, b_.cap_frags)
-                    st_.counters = stp(self.dref, st_.counters, flat_, lut_dev)
-                else:
-                    stp = make_fused_step(b_.cap_blocks, b_.cap_frags)
-                    st_.counters = stp(self.dref, st_.counters, flat_)
-                st_.metrics.batches += 1
-                if b_.resume_token is not None:
-                    st_.resume_token = b_.resume_token
-            window = []
-            window_bytes = 0
-            if sync:
-                # cheap end-of-burst sync so the next window's transfers see
-                # an idle execution stream (block_until_ready is unreliable
-                # through the tunnel; a 1-element D2H pull cannot lie)
-                np.asarray(st_.counters["cnt"][0:1])
+            if use_wire:
+                stp = make_wire_step(b_.cap_blocks, b_.cap_frags)
+                st_.counters = stp(self.dref, st_.counters, flat_, lut_dev)
+            else:
+                stp = make_fused_step(b_.cap_blocks, b_.cap_frags)
+                st_.counters = stp(self.dref, st_.counters, flat_)
+            st_.metrics.device_s += time.perf_counter() - t0
+            st_.metrics.batches += 1
+            if b_.resume_token is not None:
+                st_.resume_token = b_.resume_token
+
+        def sync_pull() -> None:
+            t0 = time.perf_counter()
+            np.asarray(st_.counters["cnt"][0:1])
             st_.metrics.device_s += time.perf_counter() - t0
 
-        self._flush_pending = flush
+        window = DeferredWindow(exec_one, sync_pull)
+        self._flush_pending = window.flush
         try:
             while True:
                 item = q2.get()
-                if item is SENTINEL:
+                if item is STREAM_END:
                     break
                 if isinstance(item, BaseException):
                     raise item
                 b, flat = item
                 if self._defer_exec:
                     self._tally_junctions(st_, b)
-                    window.append((b, flat))
-                    window_bytes += flat.nbytes
-                    if window_bytes >= DEFER_WINDOW_BYTES:
-                        flush(sync=True)
+                    window.add((b, flat), flat.nbytes)
                 else:
                     self.process_batch(b, st, fused_dev=flat)
                 done += 1
@@ -411,7 +445,7 @@ class Engine:
             # sync the final burst too: the finalize/stats D2H pulls suffer
             # the same transfer collapse as H2D while step execs are in
             # flight, so results_async must start on an idle device
-            flush(sync=True)
+            window.flush(sync=True)
         finally:
             self._flush_pending = None
             # a consumer error must not leave the feeders blocked on full
@@ -440,18 +474,6 @@ class Engine:
         DONE = object()
         stop = threading.Event()
         streams = [s if len(s) == 3 else (s[0], s[1], None) for s in streams]
-
-        def bounded_put(q_, item) -> bool:
-            # stop-aware put: a consumer error must never leave a feeder
-            # blocked on a full queue (or the join hangs forever)
-            while not stop.is_set():
-                try:
-                    q_.put(item, timeout=0.5)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
         # packed wire format on the deferred TPU path (run_stream rationale)
         use_wire = self.wire_ok and all(s[2] is not None for s in streams)
         lut_dev = (
@@ -481,17 +503,11 @@ class Engine:
                     else:
                         flat = jax.device_put(b.fused_h2d())
                     st.metrics.h2d_s += time.perf_counter() - t0
-                    while not stop.is_set():
-                        try:
-                            q.put((b, st, flat), timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not q_put(q, (b, st, flat), stop):
                         return
-                bounded_put(q, DONE)
+                q_put(q, DONE, stop)
             except BaseException as e:
-                bounded_put(q, e)
+                q_put(q, e, stop)
 
         threads = [
             threading.Thread(target=feeder, args=(it_, st_), daemon=True)
@@ -502,38 +518,36 @@ class Engine:
         live = len(streams)
         # deferred burst execution, exactly as run_stream (samples interleave
         # in the window; counters are per-sample so order is irrelevant)
-        window: list = []
-        window_bytes = 0
+        last_synced = [streams[0][1]] if streams else [None]
 
-        def flush(sync: bool = True) -> None:
-            nonlocal window, window_bytes
-            if not window:
+        def exec_one(item) -> None:
+            b_, st_, flat_ = item
+            t0 = time.perf_counter()
+            if use_wire:
+                stp = make_wire_step(b_.cap_blocks, b_.cap_frags)
+                st_.counters = stp(
+                    self.dref, st_.counters, flat_, lut_dev[id(st_)]
+                )
+            else:
+                stp = make_fused_step(b_.cap_blocks, b_.cap_frags)
+                st_.counters = stp(self.dref, st_.counters, flat_)
+            # per-sample attribution: each batch's dispatch time lands on
+            # ITS sample (config D metrics.json feeds the benches)
+            st_.metrics.device_s += time.perf_counter() - t0
+            st_.metrics.batches += 1
+            if b_.resume_token is not None:
+                st_.resume_token = b_.resume_token
+            last_synced[0] = st_
+
+        def sync_pull() -> None:
+            st_ = last_synced[0]
+            if st_ is None:
                 return
-            last_st = None
-            for b_, st_, flat_ in window:
-                t0 = time.perf_counter()
-                if use_wire:
-                    stp = make_wire_step(b_.cap_blocks, b_.cap_frags)
-                    st_.counters = stp(
-                        self.dref, st_.counters, flat_, lut_dev[id(st_)]
-                    )
-                else:
-                    stp = make_fused_step(b_.cap_blocks, b_.cap_frags)
-                    st_.counters = stp(self.dref, st_.counters, flat_)
-                # per-sample attribution: each batch's dispatch time lands on
-                # ITS sample (config D metrics.json feeds the benches)
-                st_.metrics.device_s += time.perf_counter() - t0
-                st_.metrics.batches += 1
-                if b_.resume_token is not None:
-                    st_.resume_token = b_.resume_token
-                last_st = st_
-            window = []
-            window_bytes = 0
-            if sync and last_st is not None:
-                t0 = time.perf_counter()
-                np.asarray(last_st.counters["cnt"][0:1])
-                last_st.metrics.device_s += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            np.asarray(st_.counters["cnt"][0:1])
+            st_.metrics.device_s += time.perf_counter() - t0
 
+        window = DeferredWindow(exec_one, sync_pull)
         try:
             while live:
                 item = q.get()
@@ -545,15 +559,12 @@ class Engine:
                 b, st, flat = item
                 if self._defer_exec:
                     self._tally_junctions(st, b)
-                    window.append((b, st, flat))
-                    window_bytes += flat.nbytes
-                    if window_bytes >= DEFER_WINDOW_BYTES:
-                        flush(sync=True)
+                    window.add((b, st, flat), flat.nbytes)
                 else:
                     self.process_batch(b, st, fused_dev=flat)
             # sync the final burst: the per-sample finalize/stats pulls that
             # follow suffer the transfer collapse while execs are in flight
-            flush(sync=True)
+            window.flush(sync=True)
         finally:
             stop.set()
             for t in threads:

@@ -419,9 +419,10 @@ class MeshEngine:
         import queue
         import threading
 
+        from .engine import DeferredWindow, STREAM_END, q_get, q_put
+
         q1: "queue.Queue" = queue.Queue(maxsize=2)  # decode -> route/put
         q2: "queue.Queue" = queue.Queue(maxsize=2)  # route/put -> consumer
-        SENTINEL = object()
         stop = threading.Event()
 
         m = st.metrics
@@ -430,15 +431,6 @@ class MeshEngine:
             and len(self.ref.chroms) < 0x1FFF  # 13-bit wire chrom field
         )
         lut_dev = jax.device_put(np.asarray(lut, np.int32)) if use_wire else None
-
-        def bounded_put(q, item) -> bool:
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.5)
-                    return True
-                except queue.Full:
-                    continue
-            return False
 
         def decode_feeder():
             try:
@@ -450,11 +442,11 @@ class MeshEngine:
                     except StopIteration:
                         break
                     m.decode_s += time.perf_counter() - t0
-                    if not bounded_put(q1, b):
+                    if not q_put(q1, b, stop):
                         return
-                bounded_put(q1, SENTINEL)
+                q_put(q1, STREAM_END, stop)
             except BaseException as e:
-                bounded_put(q1, e)
+                q_put(q1, e, stop)
 
         def prep_feeder():
             # host routing + sharded device_put, overlapped with decode
@@ -462,77 +454,61 @@ class MeshEngine:
             # one feeder ADDED their costs into the wall)
             try:
                 while True:
-                    try:
-                        item = q1.get(timeout=0.5)
-                    except queue.Empty:
-                        if stop.is_set():
-                            return
-                        continue
-                    if item is SENTINEL or isinstance(item, BaseException):
-                        bounded_put(q2, item)
+                    item = q_get(q1, stop)
+                    if item is STREAM_END or isinstance(item, BaseException):
+                        q_put(q2, item, stop)
                         return
                     placed = self.prep_batch(item, m, wire=use_wire)
-                    if not bounded_put(q2, (item, placed)):
+                    if not q_put(q2, (item, placed), stop):
                         return
             except BaseException as e:
-                bounded_put(q2, e)
+                q_put(q2, e, stop)
 
         t_dec = threading.Thread(target=decode_feeder, daemon=True)
         t_prep = threading.Thread(target=prep_feeder, daemon=True)
         t_dec.start()
         t_prep.start()
         done = 0
-        # deferred burst execution on the tunneled TPU, exactly as
-        # engine.run_stream (see engine.DEFER_WINDOW_BYTES): transfers must
-        # not interleave with executions
-        from .engine import DEFER_WINDOW_BYTES
-
-        window: list = []
-        window_bytes = 0
 
         def placed_bytes(placed) -> int:
             return sum(
                 getattr(v, "nbytes", 0) for v in jax.tree_util.tree_leaves(placed)
             )
 
-        def flush(sync: bool = True) -> None:
-            nonlocal window, window_bytes
-            if not window:
-                return
+        def exec_one(item) -> None:
+            b_, placed_ = item
             t0 = time.perf_counter()
-            for b_, placed_ in window:
-                if use_wire:
-                    flat_, cb_, cf_ = placed_
-                    stp = _make_binned_wire_step(self.spec.genome, cb_, cf_)
-                    st.counters = stp(self.sdref, st.counters, flat_, lut_dev)
-                else:
-                    st.counters = self._step(self.sdref, st.counters, placed_)
-                st.metrics.batches += 1
-                if b_.resume_token is not None:
-                    st.resume_token = b_.resume_token
-            window = []
-            window_bytes = 0
-            if sync:
-                np.asarray(
-                    jax.tree_util.tree_leaves(st.counters)[0].reshape(-1)[0:1]
-                )
+            if use_wire:
+                flat_, cb_, cf_ = placed_
+                stp = _make_binned_wire_step(self.spec.genome, cb_, cf_)
+                st.counters = stp(self.sdref, st.counters, flat_, lut_dev)
+            else:
+                st.counters = self._step(self.sdref, st.counters, placed_)
+            st.metrics.device_s += time.perf_counter() - t0
+            st.metrics.batches += 1
+            if b_.resume_token is not None:
+                st.resume_token = b_.resume_token
+
+        def sync_pull() -> None:
+            t0 = time.perf_counter()
+            np.asarray(
+                jax.tree_util.tree_leaves(st.counters)[0].reshape(-1)[0:1]
+            )
             st.metrics.device_s += time.perf_counter() - t0
 
-        self._flush_pending = flush
+        window = DeferredWindow(exec_one, sync_pull)
+        self._flush_pending = window.flush
         try:
             while True:
                 item = q2.get()
-                if item is SENTINEL:
+                if item is STREAM_END:
                     break
                 if isinstance(item, BaseException):
                     raise item
                 b, placed = item
                 if self._defer_exec:
                     tally_junctions(st.junc_tally, b)
-                    window.append((b, placed))
-                    window_bytes += placed_bytes(placed)
-                    if window_bytes >= DEFER_WINDOW_BYTES:
-                        flush(sync=True)
+                    window.add((b, placed), placed_bytes(placed))
                 else:
                     self.process_batch(b, st, placed=placed)
                 done += 1
@@ -541,7 +517,7 @@ class MeshEngine:
             # sync the final burst: the reassemble/stats pulls in
             # results_async suffer the transfer collapse while step execs
             # are in flight (engine.run_stream rationale)
-            flush(sync=True)
+            window.flush(sync=True)
         finally:
             self._flush_pending = None
             stop.set()
