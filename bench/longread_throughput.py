@@ -1,0 +1,82 @@
+"""--long-reads throughput: ONT/PacBio-shaped full-length transcript
+alignments (16-96 exon blocks, 10-100kb spans; io/bamgen.write_longread_bam)
+through the full BAM -> tables pipeline, with and without the --long-reads
+batch geometry (LONGREAD_BLOCKS_PER_FRAG — a padding/throughput knob only;
+semantics identical either way, tables asserted byte-equal).
+
+  python bench/longread_throughput.py             # 300k reads
+  LONGREAD_READS=50000 python bench/longread_throughput.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CACHE = os.environ.get("BENCH_CACHE", os.path.expanduser("~/.cache/irfinder_bench"))
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from irfinder_tpu.config import RunConfig
+    from irfinder_tpu.engine import run_bam
+    from irfinder_tpu.io.bamgen import write_longread_bam
+    from irfinder_tpu.synth import synth_ref
+
+    n_reads = int(os.environ.get("LONGREAD_READS", 300_000))
+    ref = synth_ref(n_genes=800)
+    os.makedirs(CACHE, exist_ok=True)
+    bam = os.path.join(CACHE, f"longread_r{n_reads}_v1.bam")
+    if not os.path.exists(bam):
+        st = write_longread_bam(bam + ".tmp", ref, n_reads=n_reads, seed=5)
+        os.replace(bam + ".tmp", bam)
+        print(f"[longread] generated {st.n_records} records", file=sys.stderr)
+
+    out = {}
+    tmp = tempfile.mkdtemp(prefix="irlong_")
+    reps = int(os.environ.get("LONGREAD_REPS", 2))
+    try:
+        results = {}
+        for label, cfg in (
+            ("longread_geometry", RunConfig(long_reads=True)),
+            ("paired_geometry", RunConfig(long_reads=False)),
+        ):
+            run_bam(ref, bam, os.path.join(tmp, f"warm_{label}"), config=cfg)
+            dt = float("inf")
+            for r in range(reps):
+                t0 = time.perf_counter()
+                m = run_bam(ref, bam, os.path.join(tmp, f"{label}_{r}"), config=cfg)
+                dt = min(dt, time.perf_counter() - t0)
+            out[f"{label}_reads_per_s"] = round(m.reads_total / dt, 1)
+            out[f"{label}_wall_s"] = round(dt, 2)
+            results[label] = os.path.join(tmp, f"{label}_0")
+        # geometry is a padding knob ONLY: tables must be byte-identical
+        for t in (
+            "IRFinder-IR-nondir.txt", "IRFinder-IR-dir.txt",
+            "IRFinder-JuncCount.txt", "IRFinder-SpansPoint.txt",
+            "IRFinder-ROI.txt", "IRFinder-ChrCoverage.txt",
+        ):
+            a = open(os.path.join(results["longread_geometry"], t), "rb").read()
+            b = open(os.path.join(results["paired_geometry"], t), "rb").read()
+            assert a == b, f"geometry changed table {t}"
+        out["tables_identical"] = True
+        out["n_reads"] = m.reads_total
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    out["metric"] = "longread_throughput"
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
