@@ -233,6 +233,25 @@ class MeshEngine:
             jax.default_backend() == "tpu" and _defer != "0"
         )
         self._flush_pending = None
+        # load the depth-reassemble executable NOW, before the stream fills
+        # HBM (measured 20.5 s of serial load inside the first finalize of a
+        # fresh process otherwise; the transient zero counters + depth fit
+        # comfortably at init, unlike mid-stream — the chained-prewarm OOM)
+        if (
+            jax.default_backend() == "tpu"
+            and os.environ.get("IRTPU_PREWARM") != "0"
+        ):
+            import threading as _threading
+
+            def _prewarm_depth():
+                try:
+                    zc = init_stacked_counters(self.sdref, 1, self.spec.genome)
+                    d = self._depth_fn(zc["cnt"])
+                    np.asarray(d.reshape(-1)[0:1])
+                except Exception:
+                    pass  # best-effort; the real finalize surfaces errors
+
+            _threading.Thread(target=_prewarm_depth, daemon=True).start()
         self._finref = None
         self._finref_thread = None
         if self._device_stats:
