@@ -211,14 +211,19 @@ class MeshEngine:
             ) = make_dp_genome_step(self.mesh, routed=self.routed)
             self.sdref = place_dref(self.sdref)
         self._depth_fn = make_depth_reassemble(self.plan)
-        # monotonic power-of-two cell-cap floors: pin the routed batch shapes
-        # so the sharded step compiles O(log) times, not once per batch
+        # monotonic cell-cap floors: pin the routed batch shapes so the
+        # sharded step compiles O(log) times, not once per batch.  The floor
+        # starts at HALF the uniform per-cell share — a full-share floor
+        # padded every batch ~25% (wire bytes are the e2e ceiling on the
+        # tunneled link); from here caps grow monotonically to the observed
+        # max cell, quarter-pow2-rounded (route_flat_batch), so at most a
+        # few extra shape specializations ever compile
         denom = max(1, spec.dp * spec.genome)
         from .io.batch import BLOCKS_PER_FRAG
 
         self._min_caps = [
-            max(128, (cap_frags * BLOCKS_PER_FRAG) // denom),
-            max(128, cap_frags // denom),
+            max(128, (cap_frags * BLOCKS_PER_FRAG) // (2 * denom)),
+            max(128, cap_frags // (2 * denom)),
         ]
         # device-stats finalize (ops/finalize_stats.py) exactly as Engine
         self._device_stats = (
@@ -233,25 +238,6 @@ class MeshEngine:
             jax.default_backend() == "tpu" and _defer != "0"
         )
         self._flush_pending = None
-        # load the depth-reassemble executable NOW, before the stream fills
-        # HBM (measured 20.5 s of serial load inside the first finalize of a
-        # fresh process otherwise; the transient zero counters + depth fit
-        # comfortably at init, unlike mid-stream — the chained-prewarm OOM)
-        if (
-            jax.default_backend() == "tpu"
-            and os.environ.get("IRTPU_PREWARM") != "0"
-        ):
-            import threading as _threading
-
-            def _prewarm_depth():
-                try:
-                    zc = init_stacked_counters(self.sdref, 1, self.spec.genome)
-                    d = self._depth_fn(zc["cnt"])
-                    np.asarray(d.reshape(-1)[0:1])
-                except Exception:
-                    pass  # best-effort; the real finalize surfaces errors
-
-            _threading.Thread(target=_prewarm_depth, daemon=True).start()
         self._finref = None
         self._finref_thread = None
         if self._device_stats:
@@ -264,6 +250,26 @@ class MeshEngine:
                 def _bg():
                     from .ops.finalize_stats import build_finalize_ref
 
+                    # 1) depth-reassemble executable load (measured 20.5 s of
+                    #    serial tail in a fresh finalize otherwise); the zero
+                    #    counters + depth transient is freed BEFORE the stats
+                    #    prewarm allocates — the two prewarms running
+                    #    concurrently OOM'd HBM at whole-genome scale
+                    if (
+                        jax.default_backend() == "tpu"
+                        and os.environ.get("IRTPU_PREWARM") != "0"
+                    ):
+                        try:
+                            zc = init_stacked_counters(
+                                self.sdref, 1, self.spec.genome
+                            )
+                            d = self._depth_fn(zc["cnt"])
+                            np.asarray(d.reshape(-1)[0:1])
+                            del zc, d
+                        except Exception:
+                            pass  # best-effort
+                    # 2) finalize index tables (long host build), then the
+                    #    stats program load (its own transient only)
                     try:
                         fr = build_finalize_ref(self.ref)
                         object.__setattr__(self.ref, "_irtpu_finref", fr)
