@@ -166,3 +166,60 @@ def test_binned_wire_deferred_equality(tmp_path, monkeypatch):
         assert (tmp_path / "eager" / t).read_bytes() == (
             tmp_path / "binned" / t
         ).read_bytes(), t
+
+
+def test_binned_wire_deferred_checkpoint_resume(tmp_path, monkeypatch):
+    """Checkpointed binned runs under deferred execution: snapshots flush
+    the pending window first, and a resumed run completes byte-identically."""
+    from irfinder_tpu import engine as E
+    from irfinder_tpu.checkpoint import load_checkpoint
+    from irfinder_tpu.engine_mesh import MeshSpec, run_bam_mesh
+    from irfinder_tpu.io.bamgen import write_realistic_bam
+    from irfinder_tpu.synth import synth_ref
+
+    ref = synth_ref(n_genes=30)
+    bam = str(tmp_path / "ck.bam")
+    write_realistic_bam(bam, ref, n_pairs=20000, seed=17)
+    E.run_bam(ref, bam, str(tmp_path / "plain"))
+
+    monkeypatch.setenv("IRTPU_DEFER", "force")
+    monkeypatch.setattr(E, "DEFER_WINDOW_BYTES", 1 << 20)
+    spec = MeshSpec(dp=1, genome=4)
+    ck = str(tmp_path / "mesh.snap")
+
+    # interrupt the first run mid-stream via the snapshot hook, then resume
+    class Stop(Exception):
+        pass
+
+    import irfinder_tpu.checkpoint as CK
+
+    real_save = CK.save_checkpoint
+    calls = {"n": 0}
+
+    def save_and_stop(path, st, engine=None):
+        real_save(path, st)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise Stop()
+
+    monkeypatch.setattr(CK, "save_checkpoint", save_and_stop)
+    # engine_mesh imports save_checkpoint inside run_bam_mesh from .checkpoint
+    with pytest.raises(Stop):
+        run_bam_mesh(
+            ref, bam, str(tmp_path / "part"), spec, cap_frags=512,
+            checkpoint=ck, checkpoint_every=2,
+        )
+    assert load_checkpoint(ck) is not None
+    monkeypatch.setattr(CK, "save_checkpoint", real_save)
+    run_bam_mesh(
+        ref, bam, str(tmp_path / "resumed"), spec, cap_frags=512,
+        checkpoint=ck, checkpoint_every=10**9,
+    )
+    for t in (
+        "IRFinder-IR-nondir.txt", "IRFinder-IR-dir.txt",
+        "IRFinder-JuncCount.txt", "IRFinder-SpansPoint.txt",
+        "IRFinder-ROI.txt", "IRFinder-ChrCoverage.txt",
+    ):
+        assert (tmp_path / "plain" / t).read_bytes() == (
+            tmp_path / "resumed" / t
+        ).read_bytes(), t
