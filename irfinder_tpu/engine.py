@@ -354,6 +354,14 @@ class Engine:
         # bytes drop 68 -> 36 per fragment row, which is the e2e ceiling on
         # the 25-75 MB/s tunneled link
         use_wire = self.wire_ok and lut is not None
+        if use_wire and len(lut) >= 0x7FFFF:
+            # decoders skipped the full columns on the wire_ok promise; a
+            # header this large cannot ride the 19-bit wire refid field and
+            # silently-zero tables are not an option — fail loudly
+            raise ValueError(
+                "BAM header has >= 524287 reference sequences: wire format "
+                "ineligible; rerun with IRTPU_DEFER=0"
+            )
         lut_dev = jax.device_put(np.asarray(lut, np.int32)) if use_wire else None
 
         def decode_feeder():
@@ -475,7 +483,16 @@ class Engine:
         stop = threading.Event()
         streams = [s if len(s) == 3 else (s[0], s[1], None) for s in streams]
         # packed wire format on the deferred TPU path (run_stream rationale)
-        use_wire = self.wire_ok and all(s[2] is not None for s in streams)
+        use_wire = self.wire_ok and all(
+            s[2] is not None and len(s[2]) < 0x7FFFF for s in streams
+        )
+        if self.wire_ok and not use_wire and any(
+            s[2] is not None and len(s[2]) >= 0x7FFFF for s in streams
+        ):
+            raise ValueError(
+                "BAM header has >= 524287 reference sequences: wire format "
+                "ineligible; rerun with IRTPU_DEFER=0"
+            )
         lut_dev = (
             {id(s[1]): jax.device_put(np.asarray(s[2], np.int32)) for s in streams}
             if use_wire

@@ -138,22 +138,28 @@ def _make_binned_step(n_bins: int):
 def _make_binned_wire_step(n_bins: int, cap_blocks: int, cap_frags: int):
     """Binned step over the PACKED wire buffer (io/batch.py pack_wire on the
     ROUTED flat columns; caps are the routed G*cell totals).  Wire bytes are
-    the e2e ceiling on the tunneled link — 36 B/frag-row vs the column
-    dict's 68 (engine.make_wire_step rationale)."""
+    the e2e ceiling on the tunneled link (engine.make_wire_step rationale).
+    The wire sections are reshaped per bin BEFORE unpacking: the fragment
+    span derivation segments blocks by each row's nblk, and that
+    segmentation must restart at every bin boundary (blocks and frag rows
+    are cell-contiguous after routing, but the flat-level cumsum would run
+    across cells)."""
     key = ("binned_wire", n_bins, cap_blocks, cap_frags)
     step = _JIT_CACHE.get(key)
     if step is None:
-        from .io.batch import unpack_wire
+        from .io.batch import unpack_wire_cols
 
         def bwstep(sdref, counters, flat, lut):
-            cols = unpack_wire(flat, cap_blocks, cap_frags, lut)
-            batch = {k: v.reshape(n_bins, -1) for k, v in cols.items()}
+            B, F = cap_blocks, cap_frags
+            bs = flat[0:B].reshape(n_bins, -1)
+            bm = flat[B : 2 * B].reshape(n_bins, -1)
+            fm = flat[2 * B : 2 * B + F].reshape(n_bins, -1)
 
             def one(args):
-                d, c, b = args
-                return count_step(d, c, b)
+                d, c, bs_g, bm_g, fm_g = args
+                return count_step(d, c, unpack_wire_cols(bs_g, bm_g, fm_g, lut))
 
-            return jax.lax.map(one, (sdref, counters, batch))
+            return jax.lax.map(one, (sdref, counters, bs, bm, fm))
 
         step = _JIT_CACHE[key] = jax.jit(bwstep, donate_argnums=(1,))
     return step
@@ -395,8 +401,8 @@ class MeshEngine:
                 w = pack_wire_cols(
                     arrays["blk_chrom"], arrays["blk_start"],
                     arrays["blk_end"], arrays["blk_strand"],
-                    arrays["frag_refid"], arrays["frag_start"],
-                    arrays["frag_end"], arrays["frag_strand"],
+                    arrays["frag_refid"], arrays["frag_strand"],
+                    arrays["frag_nblk"],
                 )
                 if m is not None:
                     m.route_s += time.perf_counter() - t0
@@ -454,6 +460,7 @@ class MeshEngine:
         use_wire = (
             self.binned and self._defer_exec and lut is not None
             and len(self.ref.chroms) < 0x1FFF  # 13-bit wire chrom field
+            and len(lut) < 0x7FFFF  # 19-bit wire refid field
         )
         lut_dev = jax.device_put(np.asarray(lut, np.int32)) if use_wire else None
 

@@ -219,8 +219,10 @@ class BatchBuilder:
             chrom = int(self.chrom_of_refid[ref_id]) if ref_id < len(self.chrom_of_refid) else -1
             strand = rs[0].strand
             span_lo, span_hi = None, None
+            nblk = 0
             for r in rs:
                 for (s, e) in r.blocks:
+                    nblk += 1
                     i = b.n_blocks
                     b.blk_chrom[i] = chrom
                     b.blk_start[i] = s
@@ -242,6 +244,7 @@ class BatchBuilder:
             b.frag_start[i] = span_lo if span_lo is not None else 0
             b.frag_end[i] = span_hi if span_hi is not None else 0
             b.frag_strand[i] = strand
+            b.frag_nblk[i] = nblk
             b.n_frags += 1
         b.n_reads += len(reads)
         return done

@@ -60,6 +60,7 @@ class PackedBatch:
     frag_start: np.ndarray  # int32 (F,)
     frag_end: np.ndarray  # int32 (F,)
     frag_strand: np.ndarray  # int32 (F,)
+    frag_nblk: np.ndarray  # int32 (F,) blocks emitted for this frag row
     # scalars (host-side metrics; not shipped to device)
     n_blocks: int = 0
     n_gaps: int = 0
@@ -105,6 +106,7 @@ class PackedBatch:
             frag_start=fused[o + 2 * cap_frags : o + 3 * cap_frags],
             frag_end=fused[o + 3 * cap_frags : o + 4 * cap_frags],
             frag_strand=fused[o + 4 * cap_frags : o + 5 * cap_frags],
+            frag_nblk=z(cap_frags),
             _fused=fused,
         )
 
@@ -146,6 +148,7 @@ class PackedBatch:
             "frag_start": self.frag_start,
             "frag_end": self.frag_end,
             "frag_strand": self.frag_strand,
+            "frag_nblk": self.frag_nblk,
         }
 
 
@@ -173,40 +176,46 @@ def unpack_fused(flat, cap_blocks: int, cap_frags: int) -> dict:
     return out
 
 
-#: Packed wire format (H2D): the tunneled-TPU link runs at ~25-75 MB/s
+#: Packed wire format (H2D): the tunneled-TPU link runs at ~8-75 MB/s
 #: effective (content-dependent — the transport compresses), so shipped
 #: bytes ARE the e2e throughput on weak links.  The wire buffer packs the
-#: nine device-bound int32 columns into five words/fragment-row:
-#:   [blk_start (B,) | blk_meta (B,) | frag_start (F,) | frag_end (F,) |
-#:    frag_meta (F,)]
-#:   blk_meta  = len:18 | chrom:13 | strand:1   (chrom 0x1FFF = pad)
-#:   frag_meta = refid:31 | strand:1            (refid -1 = pad, via
-#:                                               arithmetic >> on device)
-#: frag_chrom is NOT shipped — the device derives it from refid through the
-#: per-BAM chrom LUT (one tiny put per run).  36 B/frag vs the fused
-#: buffer's 68 B/frag; the zeroed padding regions compress on the wire.
+#: nine device-bound int32 columns into three words/fragment-row:
+#:   [blk_start (B,) | blk_meta (B,) | frag_meta (F,)]
+#:   blk_meta  = len:18 | chrom:13 | strand:1            (chrom 0x1FFF = pad)
+#:   frag_meta = nblk:12 | refid:19 | strand:1           (refid 0x7FFFF = pad)
+#: Neither frag_chrom nor frag_start/end is shipped: the device derives
+#: chrom from refid through the per-BAM LUT (one tiny put per run) and the
+#: fragment span by segmented min/max over its OWN blocks — blocks are
+#: emitted contiguously per fragment row, and frag_meta's nblk carries the
+#: per-row block count, so an exclusive cumsum reconstructs the exact
+#: segmentation (zero-block rows span 0..0, matching the decoders).
+#: ~22 B/frag average vs the fused buffer's 68; padding compresses on the
+#: wire.
 WIRE_LEN_BITS = 18
 WIRE_CHROM_PAD = 0x1FFF  # 13-bit chrom field sentinel
 WIRE_MAX_BLOCK_LEN = (1 << WIRE_LEN_BITS) - 1
+WIRE_NBLK_BITS = 12
+WIRE_MAX_NBLK = (1 << WIRE_NBLK_BITS) - 1
+WIRE_REFID_PAD = 0x7FFFF  # 19-bit refid field sentinel
 
 
 def pack_wire(b: "PackedBatch") -> np.ndarray:
     """Host-side wire packing from a PackedBatch's columns (the native
-    decoder builds the same layout straight from its C views — see
-    native/bamdecode.py _pack_wire_from_views; both must stay bit-equal)."""
+    decoder builds the same layout straight from its C views; both must
+    stay bit-equal)."""
     return pack_wire_cols(
         b.blk_chrom, b.blk_start, b.blk_end, b.blk_strand,
-        b.frag_refid, b.frag_start, b.frag_end, b.frag_strand,
+        b.frag_refid, b.frag_strand, b.frag_nblk,
     )
 
 
 def pack_wire_cols(
     blk_chrom, blk_start, blk_end, blk_strand,
-    frag_refid, frag_start, frag_end, frag_strand,
+    frag_refid, frag_strand, frag_nblk,
 ) -> np.ndarray:
     B = blk_chrom.shape[0]
     F = frag_refid.shape[0]
-    out = np.empty(2 * B + 3 * F, np.int32)
+    out = np.empty(2 * B + F, np.int32)
     pad_b = blk_chrom < 0
     # pad lanes may carry stale start/end from recycled decoder buffers:
     # zero them so the wire's padding region stays compressible and the
@@ -233,49 +242,78 @@ def pack_wire_cols(
     out[B : 2 * B] = meta.view(np.int32)
     o = 2 * B
     pad_f = frag_refid < 0
-    out[o : o + F] = np.where(pad_f, 0, frag_start)
-    out[o + F : o + 2 * F] = np.where(pad_f, 0, frag_end)
+    if frag_nblk.size and int(frag_nblk.max()) > WIRE_MAX_NBLK:
+        raise ValueError(
+            f"fragment with more than {WIRE_MAX_NBLK} aligned blocks "
+            "exceeds the wire nblk field (corrupt CIGAR?)"
+        )
+    if frag_refid.size and int(frag_refid.max()) >= WIRE_REFID_PAD:
+        raise ValueError(
+            f"BAM refid >= {WIRE_REFID_PAD}: header has too many reference "
+            "sequences for the 19-bit wire refid field (set IRTPU_DEFER=0)"
+        )
+    rfield = np.where(pad_f, WIRE_REFID_PAD, frag_refid).astype(np.uint32)
     fmeta = (
-        (frag_refid.astype(np.int64) << 1)
-        | (np.where(pad_f, 0, frag_strand).astype(np.int64) & 1)
-    ).astype(np.int32)
-    out[o + 2 * F : o + 3 * F] = fmeta
+        (np.where(pad_f, 0, frag_nblk).astype(np.uint32) << 20)
+        | (rfield << 1)
+        | (np.where(pad_f, 0, frag_strand).astype(np.uint32) & 1)
+    )
+    out[o : o + F] = fmeta.view(np.int32)
     return out
 
 
-def unpack_wire(flat, cap_blocks: int, cap_frags: int, lut) -> dict:
-    """Device-side inverse of pack_wire (jnp; runs inside the jitted wire
-    step).  `lut` maps BAM refid -> compiled chrom id (-1 unknown)."""
+def unpack_wire_cols(bs, bm, fm, lut) -> dict:
+    """Device-side inverse of pack_wire over the three raw sections (jnp;
+    runs inside the jitted wire step — also per-bin in the binned mesh form,
+    where segmentation must respect bin boundaries).  `lut` maps BAM refid
+    -> compiled chrom id (-1 unknown).  Fragment spans are reconstructed by
+    segmented min/max over each row's own contiguous block run."""
+    import jax
     import jax.numpy as jnp
 
-    B, F = cap_blocks, cap_frags
-    bs = flat[0:B]
-    bm = flat[B : 2 * B]
-    o = 2 * B
-    fs = flat[o : o + F]
-    fe = flat[o + F : o + 2 * F]
-    fm = flat[o + 2 * F : o + 3 * F]
+    F = fm.shape[0]
+    B = bs.shape[0]
     ln = (bm >> 14) & ((1 << WIRE_LEN_BITS) - 1)
     c13 = (bm >> 1) & 0x1FFF
     blk_chrom = jnp.where(c13 == WIRE_CHROM_PAD, -1, c13)
-    refid = fm >> 1  # arithmetic: pad -1 survives
+    blk_end = bs + ln
+    nblk = (fm >> 20) & WIRE_MAX_NBLK
+    r19 = (fm >> 1) & 0x7FFFF
+    refid = jnp.where(r19 == WIRE_REFID_PAD, -1, r19)
     n = lut.shape[0]
     frag_chrom = jnp.where(
         (refid >= 0) & (refid < n),
         lut[jnp.clip(refid, 0, n - 1)],
         -1,
     )
+    # block i belongs to the fragment row whose cumulative-block interval
+    # contains i; rows beyond the real blocks (pads) go to segment F
+    ends = jnp.cumsum(nblk)
+    seg = jnp.searchsorted(ends, jnp.arange(B, dtype=ends.dtype), side="right")
+    seg = jnp.where(blk_chrom >= 0, jnp.minimum(seg, F), F)
+    fstart = jax.ops.segment_min(bs, seg, num_segments=F + 1)[:F]
+    fend = jax.ops.segment_max(blk_end, seg, num_segments=F + 1)[:F]
+    has = nblk > 0
     return {
         "blk_chrom": blk_chrom,
         "blk_start": bs,
-        "blk_end": bs + ln,
+        "blk_end": blk_end,
         "blk_strand": bm & 1,
         "frag_chrom": frag_chrom,
         "frag_refid": refid,
-        "frag_start": fs,
-        "frag_end": fe,
+        "frag_start": jnp.where(has, fstart, 0).astype(jnp.int32),
+        "frag_end": jnp.where(has, fend, 0).astype(jnp.int32),
         "frag_strand": fm & 1,
+        "frag_nblk": nblk,
     }
+
+
+def unpack_wire(flat, cap_blocks: int, cap_frags: int, lut) -> dict:
+    """Slice the flat wire buffer into its three sections and unpack."""
+    B, F = cap_blocks, cap_frags
+    return unpack_wire_cols(
+        flat[0:B], flat[B : 2 * B], flat[2 * B : 2 * B + F], lut
+    )
 
 
 def device_batch(arrays: dict) -> dict:

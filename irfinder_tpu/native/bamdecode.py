@@ -28,6 +28,7 @@ class _BdBatchView(ctypes.Structure):
             "blk_chrom", "blk_start", "blk_end", "blk_strand",
             "gap_chrom", "gap_start", "gap_end", "gap_strand",
             "frag_chrom", "frag_refid", "frag_start", "frag_end", "frag_strand",
+            "frag_nblk",
         )]
         + [(n, ctypes.c_int64) for n in (
             "n_blocks", "n_gaps", "n_frags", "n_reads",
@@ -194,7 +195,7 @@ def _wrap_handle(lib, h, chrom_index: dict, full_columns: bool = True):
                         ("blk_end", nb), ("blk_strand", nb),
                         ("frag_chrom", nf), ("frag_refid", nf),
                         ("frag_start", nf), ("frag_end", nf),
-                        ("frag_strand", nf),
+                        ("frag_strand", nf), ("frag_nblk", nf),
                     ]
                 for nm, n in cols:
                     _fill_col(getattr(pb, nm), getattr(view, nm), n)
@@ -212,9 +213,8 @@ def _wrap_handle(lib, h, chrom_index: dict, full_columns: bool = True):
                               ("blk_end", pb.cap_blocks),
                               ("blk_strand", pb.cap_blocks),
                               ("frag_refid", pb.cap_frags),
-                              ("frag_start", pb.cap_frags),
-                              ("frag_end", pb.cap_frags),
                               ("frag_strand", pb.cap_frags),
+                              ("frag_nblk", pb.cap_frags),
                           ))
                     )
                 pb.n_blocks, pb.n_gaps, pb.n_frags = nb, ng, nf

@@ -291,7 +291,10 @@ def route_flat_batch(
     per cell)."""
     bounds = np.asarray(plan.bounds)
     blk_cols = ("blk_chrom", "blk_start", "blk_end", "blk_strand")
-    frag_cols = ("frag_chrom", "frag_refid", "frag_start", "frag_end", "frag_strand")
+    frag_cols = (
+        "frag_chrom", "frag_refid", "frag_start", "frag_end", "frag_strand",
+        "frag_nblk",
+    )
     out: dict = {}
     counts = None
     for (cols, chrom_col), min_cap in zip(

@@ -135,6 +135,8 @@ struct BatchBuf {
   std::vector<int32_t> blk_chrom, blk_start, blk_end, blk_strand;
   std::vector<int32_t> gap_chrom, gap_start, gap_end, gap_strand;
   std::vector<int32_t> frag_chrom, frag_refid, frag_start, frag_end, frag_strand;
+  std::vector<int32_t> frag_nblk;  // blocks emitted for this frag row (wire v3
+                                   // derives frag spans on device from blocks)
   int64_t n_blocks = 0, n_gaps = 0, n_frags = 0, n_reads = 0;
   int64_t cap_blocks = 0, cap_gaps = 0, cap_frags = 0;
 
@@ -158,6 +160,7 @@ struct BatchBuf {
     frag_start.assign(cap_frags, 0);
     frag_end.assign(cap_frags, 0);
     frag_strand.assign(cap_frags, 0);
+    frag_nblk.assign(cap_frags, 0);
     n_blocks = n_gaps = n_frags = n_reads = 0;
   }
   void reset() {
@@ -165,6 +168,7 @@ struct BatchBuf {
     std::fill(gap_chrom.begin(), gap_chrom.begin() + n_gaps, -1);
     std::fill(frag_chrom.begin(), frag_chrom.begin() + n_frags, -1);
     std::fill(frag_refid.begin(), frag_refid.begin() + n_frags, -1);
+    std::fill(frag_nblk.begin(), frag_nblk.begin() + n_frags, 0);
     n_blocks = n_gaps = n_frags = n_reads = 0;
   }
   bool would_overflow(int64_t nb, int64_t ng, int64_t nf) const {
@@ -826,10 +830,12 @@ class Decoder {
           (rid >= 0 && rid < (int32_t)lut_.size()) ? lut_[rid] : -1;
       int32_t strand = -1;
       int64_t span_lo = -1, span_hi = -1;
+      int32_t nblk = 0;
       for (auto& r : frag) {
         if (r.ref_id != rid) continue;
         if (strand < 0) strand = r.strand;
         for (auto& b : r.blocks) {
+          nblk++;
           int64_t i = cur_.n_blocks++;
           cur_.blk_chrom[i] = chrom;
           cur_.blk_start[i] = b.first;
@@ -852,6 +858,7 @@ class Decoder {
       cur_.frag_start[i] = span_lo < 0 ? 0 : (int32_t)span_lo;
       cur_.frag_end[i] = span_hi < 0 ? 0 : (int32_t)span_hi;
       cur_.frag_strand[i] = strand < 0 ? 0 : strand;
+      cur_.frag_nblk[i] = nblk;
     }
     cur_.n_reads += (int64_t)frag.size();
   }
@@ -909,6 +916,7 @@ typedef struct {
   int32_t *blk_chrom, *blk_start, *blk_end, *blk_strand;
   int32_t *gap_chrom, *gap_start, *gap_end, *gap_strand;
   int32_t *frag_chrom, *frag_refid, *frag_start, *frag_end, *frag_strand;
+  int32_t *frag_nblk;
   int64_t n_blocks, n_gaps, n_frags, n_reads;
   int64_t cap_blocks, cap_gaps, cap_frags;
 } BdBatchView;
@@ -1003,6 +1011,7 @@ int bd_next_batch(void* h, BdBatchView* out) {
   out->frag_start = b->frag_start.data();
   out->frag_end = b->frag_end.data();
   out->frag_strand = b->frag_strand.data();
+  out->frag_nblk = b->frag_nblk.data();
   out->n_blocks = b->n_blocks;
   out->n_gaps = b->n_gaps;
   out->n_frags = b->n_frags;
