@@ -528,7 +528,13 @@ class MeshEngine:
             )
             st.metrics.device_s += time.perf_counter() - t0
 
-        window = DeferredWindow(exec_one, sync_pull)
+        # binned whole-genome runs carry ~2.4 GB of counters plus the
+        # prewarm transients; cap the deferred window at 512 MB there for
+        # HBM headroom (one extra mid-stream sync per window is ~0.15 s)
+        from .engine import DEFER_WINDOW_BYTES as _DWB
+
+        limit = min(_DWB, 512_000_000) if self.binned else _DWB
+        window = DeferredWindow(exec_one, sync_pull, limit=limit)
         self._flush_pending = window.flush
         try:
             while True:
