@@ -28,6 +28,17 @@ import time
 import numpy as np
 
 CACHE = os.environ.get("BENCH_CACHE", os.path.expanduser("~/.cache/irfinder_bench"))
+# --smoke / BENCH_SMOKE=1: micro shapes, 1 rep — drives every code path the
+# real bench uses so the suite can assert benches run at HEAD (round-4
+# verdict #1: committed benches must not be able to break silently)
+SMOKE = os.environ.get("BENCH_SMOKE", "") not in ("", "0") or "--smoke" in sys.argv
+
+
+def _envint(name: str, default: int, smoke: int) -> int:
+    v = os.environ.get(name)
+    if v is not None:
+        return int(v)
+    return smoke if SMOKE else default
 
 
 def _jax():
@@ -37,6 +48,11 @@ def _jax():
     # (tens of seconds); cache across bench runs
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if SMOKE and not os.environ.get("BENCH_TPU"):
+        # smoke checks code-path health, not perf: stay off the (possibly
+        # busy) tunneled chip.  Env-var JAX_PLATFORMS is rewritten by the
+        # axon sitecustomize, so the in-process override is the reliable one.
+        jax.config.update("jax_platforms", "cpu")
     return jax
 
 
@@ -108,16 +124,16 @@ def bench_e2e() -> None:
     from irfinder_tpu.engine import run_bam
     from irfinder_tpu.synth import synth_ref
 
-    n_pairs = int(os.environ.get("BENCH_PAIRS", 5_000_000))
-    ref = synth_ref(n_genes=800)  # chr21-scale: ~14k unique introns
-    warm_bam = _cached_bam(ref, n_pairs=50_000, seed=3)
+    n_pairs = _envint("BENCH_PAIRS", 5_000_000, 3_000)
+    ref = synth_ref(n_genes=200 if SMOKE else 800)  # chr21-scale: ~14k unique introns
+    warm_bam = _cached_bam(ref, n_pairs=2_000 if SMOKE else 50_000, seed=3)
     bam = _cached_bam(ref, n_pairs=n_pairs, seed=0)
 
     tmp = tempfile.mkdtemp(prefix="irbench_")
     # best-of-3: the tunneled link's effective bandwidth wanders ~2x on
     # minute scales (BASELINE.md transport microbenchmarks); a single rep
     # records tunnel weather, not the engine
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    reps = _envint("BENCH_REPS", 3, 1)
     try:
         run_bam(ref, warm_bam, os.path.join(tmp, "warm"))  # compile everything
         dt = float("inf")
@@ -174,12 +190,12 @@ def bench_step(ref=None, quiet: bool = False) -> float:
     from irfinder_tpu.ops.step import init_counters, make_count_step
     from irfinder_tpu.synth import synth_batch_arrays, synth_ref
 
-    n_frags = int(os.environ.get("BENCH_FRAGS", 1 << 15))
-    n_batches = int(os.environ.get("BENCH_BATCHES", 16))
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    n_frags = _envint("BENCH_FRAGS", 1 << 15, 2048)
+    n_batches = _envint("BENCH_BATCHES", 16, 2)
+    reps = _envint("BENCH_REPS", 3, 1)
 
     if ref is None:
-        ref = synth_ref(n_genes=800)
+        ref = synth_ref(n_genes=200 if SMOKE else 800)
     dref = build_device_ref(ref)
     step = make_count_step()
 

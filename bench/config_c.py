@@ -29,6 +29,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CACHE = os.environ.get("BENCH_CACHE", os.path.expanduser("~/.cache/irfinder_bench"))
+# --smoke / BENCH_SMOKE=1: micro shapes, 1 rep (suite-enforced bench health)
+SMOKE = os.environ.get("BENCH_SMOKE", "") not in ("", "0") or "--smoke" in sys.argv
 
 
 def main() -> None:
@@ -36,13 +38,15 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if SMOKE and not os.environ.get("BENCH_TPU"):
+        jax.config.update("jax_platforms", "cpu")  # sitecustomize rewrites the env var
 
     from irfinder_tpu.engine import run_bam
     from irfinder_tpu.io.bamgen import write_realistic_bam
     from irfinder_tpu.synth import synth_ref
 
-    n_pairs = int(os.environ.get("CONFIG_C_PAIRS", 25_000_000))
-    n_genes = int(os.environ.get("CONFIG_C_GENES", 18_000))
+    n_pairs = int(os.environ.get("CONFIG_C_PAIRS", 3_000 if SMOKE else 25_000_000))
+    n_genes = int(os.environ.get("CONFIG_C_GENES", 240 if SMOKE else 18_000))
 
     t0 = time.perf_counter()
     ref = synth_ref(n_genes=n_genes, n_chroms=24, chrom_len=2_000_000_000, seed=0)

@@ -16,6 +16,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CACHE = os.environ.get("BENCH_CACHE", os.path.expanduser("~/.cache/irfinder_bench"))
+# --smoke / BENCH_SMOKE=1: micro shapes, 1 rep (suite-enforced bench health)
+SMOKE = os.environ.get("BENCH_SMOKE", "") not in ("", "0") or "--smoke" in sys.argv
 
 
 def main() -> None:
@@ -23,18 +25,21 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if SMOKE and not os.environ.get("BENCH_TPU"):
+        jax.config.update("jax_platforms", "cpu")  # sitecustomize rewrites the env var
 
     from irfinder_tpu.diff import run_differential
     from irfinder_tpu.engine import run_multi_bam
     from irfinder_tpu.io.bamgen import write_realistic_bam
     from irfinder_tpu.synth import synth_ref
 
-    n_pairs = int(os.environ.get("CONFIG_D_PAIRS", 500_000))
-    ref = synth_ref(n_genes=800)
+    n_pairs = int(os.environ.get("CONFIG_D_PAIRS", 1_000 if SMOKE else 500_000))
+    ref = synth_ref(n_genes=200 if SMOKE else 800)
     os.makedirs(CACHE, exist_ok=True)
     bams = []
     for i in range(8):
-        p = os.path.join(CACHE, f"configD_s{i}_p{n_pairs}_v2.bam")
+        tag = "_smoke" if SMOKE else ""
+        p = os.path.join(CACHE, f"configD_s{i}_p{n_pairs}{tag}_v2.bam")
         if not os.path.exists(p):
             write_realistic_bam(p + ".tmp", ref, n_pairs=n_pairs, seed=1000 + i)
             os.replace(p + ".tmp", p)
@@ -47,12 +52,13 @@ def main() -> None:
 
     from irfinder_tpu.engine import run_bam
 
-    warm = os.path.join(CACHE, "realistic_p50000_s3_v2.bam")
+    warm_pairs = 2_000 if SMOKE else 50_000
+    warm = os.path.join(CACHE, f"realistic_p{warm_pairs}_s3_v2.bam")
     if not os.path.exists(warm):
-        write_realistic_bam(warm, ref, n_pairs=50_000, seed=3)
+        write_realistic_bam(warm, ref, n_pairs=warm_pairs, seed=3)
     run_bam(ref, warm, os.path.join(tempfile.mkdtemp(), "warm"))
 
-    reps = int(os.environ.get("CONFIG_D_REPS", 2))
+    reps = int(os.environ.get("CONFIG_D_REPS", 1 if SMOKE else 2))
     dt = float("inf")
     for _ in range(reps):  # best-of: the tunneled link's bandwidth wanders
         t0 = time.perf_counter()

@@ -20,6 +20,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CACHE = os.environ.get("BENCH_CACHE", os.path.expanduser("~/.cache/irfinder_bench"))
+# --smoke / BENCH_SMOKE=1: micro shapes, 1 rep (suite-enforced bench health)
+SMOKE = os.environ.get("BENCH_SMOKE", "") not in ("", "0") or "--smoke" in sys.argv
 
 
 def main() -> None:
@@ -27,16 +29,19 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if SMOKE and not os.environ.get("BENCH_TPU"):
+        jax.config.update("jax_platforms", "cpu")  # sitecustomize rewrites the env var
 
     from irfinder_tpu.config import RunConfig
     from irfinder_tpu.engine import run_bam
     from irfinder_tpu.io.bamgen import write_longread_bam
     from irfinder_tpu.synth import synth_ref
 
-    n_reads = int(os.environ.get("LONGREAD_READS", 300_000))
-    ref = synth_ref(n_genes=800)
+    n_reads = int(os.environ.get("LONGREAD_READS", 1_000 if SMOKE else 300_000))
+    ref = synth_ref(n_genes=200 if SMOKE else 800)
     os.makedirs(CACHE, exist_ok=True)
-    bam = os.path.join(CACHE, f"longread_r{n_reads}_v1.bam")
+    tag = "_smoke" if SMOKE else ""
+    bam = os.path.join(CACHE, f"longread_r{n_reads}{tag}_v1.bam")
     if not os.path.exists(bam):
         st = write_longread_bam(bam + ".tmp", ref, n_reads=n_reads, seed=5)
         os.replace(bam + ".tmp", bam)
@@ -44,7 +49,7 @@ def main() -> None:
 
     out = {}
     tmp = tempfile.mkdtemp(prefix="irlong_")
-    reps = int(os.environ.get("LONGREAD_REPS", 2))
+    reps = int(os.environ.get("LONGREAD_REPS", 1 if SMOKE else 2))
     try:
         results = {}
         for label, cfg in (

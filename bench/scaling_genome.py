@@ -24,6 +24,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# --smoke / BENCH_SMOKE=1: micro shapes + G=2 only, so the suite can assert
+# this bench runs at HEAD (round-4 verdict #1: the published G-sweep crashed
+# because nothing exercised the bench's code path)
+SMOKE = os.environ.get("BENCH_SMOKE", "") not in ("", "0") or "--smoke" in sys.argv
+
 # the axon sitecustomize rewrites JAX_PLATFORMS at interpreter start, so the
 # reliable CPU override is jax.config.update AFTER import (XLA_FLAGS must
 # still precede the first backend init) — same recipe as tests/conftest.py
@@ -53,13 +58,15 @@ def main() -> None:
     from irfinder_tpu.parallel.shard import pad_batch_to_multiple
     from irfinder_tpu.synth import synth_batch_arrays, synth_ref
 
-    n_frags = int(os.environ.get("SCALE_FRAGS", 1 << 14))
-    reps = int(os.environ.get("SCALE_REPS", 5))
-    ref = synth_ref(n_genes=1200, n_chroms=24, chrom_len=400_000_000, seed=0)
+    n_frags = int(os.environ.get("SCALE_FRAGS", 2048 if SMOKE else 1 << 14))
+    reps = int(os.environ.get("SCALE_REPS", 1 if SMOKE else 5))
+    ref = synth_ref(
+        n_genes=200 if SMOKE else 1200, n_chroms=24, chrom_len=400_000_000, seed=0
+    )
     batch, n_reads = synth_batch_arrays(ref, n_frags=n_frags, seed=1)
     batch = device_batch(batch)
     rows = []
-    for G in (1, 2, 4, 8):
+    for G in (1, 2) if SMOKE else (1, 2, 4, 8):
         mesh = Mesh(np.array(jax.devices()[:G]).reshape(1, G), ("dp", "genome"))
         plan = plan_shards(ref, G)
         sdref = build_stacked_dref(ref, plan)
@@ -102,12 +109,12 @@ def main() -> None:
     from irfinder_tpu.engine_mesh import MeshSpec, run_bam_mesh
     from irfinder_tpu.io.bamgen import write_realistic_bam
 
-    n_pairs = int(os.environ.get("SCALE_E2E_PAIRS", 150_000))
+    n_pairs = int(os.environ.get("SCALE_E2E_PAIRS", 2_000 if SMOKE else 150_000))
     e2e_rows = []
     with tempfile.TemporaryDirectory() as td:
         bam = os.path.join(td, "scaling.bam")
         st = write_realistic_bam(bam, ref, n_pairs=n_pairs, seed=2)
-        e2e_reps = int(os.environ.get("SCALE_E2E_REPS", 2))
+        e2e_reps = int(os.environ.get("SCALE_E2E_REPS", 1 if SMOKE else 2))
         base = float("inf")
         for r in range(e2e_reps):  # best-of: drop one-time compiles
             t0 = time.perf_counter()
@@ -128,7 +135,7 @@ def main() -> None:
         # its padding tax here.  The design comparison is routed vs
         # REPLICATED at matched G (replicated inflates total work xG); on
         # real chips per-chip work drops 1/G for both.
-        for G in (1, 2, 4, 8):
+        for G in (2,) if SMOKE else (1, 2, 4, 8):
             for routed in (True, False):
                 if not routed and G == 1:
                     continue

@@ -25,6 +25,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CACHE = os.environ.get("BENCH_CACHE", os.path.expanduser("~/.cache/irfinder_bench"))
+# --smoke / BENCH_SMOKE=1: micro shapes (suite-enforced bench health)
+SMOKE = os.environ.get("BENCH_SMOKE", "") not in ("", "0") or "--smoke" in sys.argv
 
 TABLES = [
     "IRFinder-IR-nondir.txt", "IRFinder-IR-dir.txt", "IRFinder-JuncCount.txt",
@@ -36,16 +38,21 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
+    if SMOKE and not os.environ.get("BENCH_TPU"):
+        jax.config.update("jax_platforms", "cpu")  # sitecustomize rewrites the env var
 
     from irfinder_tpu.engine import run_bam
     from irfinder_tpu.io.bamgen import write_realistic_bam
     from irfinder_tpu.io.bampy import decode_bam
     from irfinder_tpu.synth import synth_ref
 
-    n_pairs = int(os.environ.get("STREAM_PAIRS", 1_000_000))
-    ref = synth_ref(n_genes=1200, n_chroms=8, chrom_len=40_000_000, seed=5)
+    n_pairs = int(os.environ.get("STREAM_PAIRS", 2_000 if SMOKE else 1_000_000))
+    ref = synth_ref(
+        n_genes=200 if SMOKE else 1200, n_chroms=8, chrom_len=40_000_000, seed=5
+    )
     os.makedirs(CACHE, exist_ok=True)
-    bam = os.path.join(CACHE, f"stream_p{n_pairs}_v1.bam")
+    tag = "_smoke" if SMOKE else ""
+    bam = os.path.join(CACHE, f"stream_p{n_pairs}{tag}_v1.bam")
     if not os.path.exists(bam):
         st = write_realistic_bam(bam + ".tmp", ref, n_pairs=n_pairs, seed=8)
         os.replace(bam + ".tmp", bam)

@@ -293,7 +293,10 @@ def unpack_wire_cols(bs, bm, fm, lut) -> dict:
     seg = jnp.where(blk_chrom >= 0, jnp.minimum(seg, F), F)
     fstart = jax.ops.segment_min(bs, seg, num_segments=F + 1)[:F]
     fend = jax.ops.segment_max(blk_end, seg, num_segments=F + 1)[:F]
-    has = nblk > 0
+    # unmapped-refid fragments (frag_chrom -1) have their blocks pad-encoded
+    # (forced to segment F), so the segment min/max would yield INT32_MAX/MIN
+    # identities; mask them to the 0..0 span the decoders emit
+    has = (nblk > 0) & (frag_chrom >= 0)
     return {
         "blk_chrom": blk_chrom,
         "blk_start": bs,
