@@ -19,8 +19,11 @@ class RunConfig:
     cap_frags: int = 1 << 15
     #: use the native C++ decoder for file paths (falls back to Python)
     use_native: bool = True
-    #: worker threads for the native decoder's BGZF inflate + parse
-    decoder_threads: int = 4
+    #: worker threads for the native decoder's BGZF inflate + parse.
+    #: None = auto: 4 for single-sample runs; multi-sample mode budgets
+    #: ~2 threads per vCPU across ALL samples.  An explicit value is always
+    #: honored (run_multi_bam warns if it oversubscribes the host).
+    decoder_threads: int | None = None
     #: snapshot file for resumable runs (None = no checkpointing)
     checkpoint: str | None = None
     #: batches between snapshots

@@ -237,12 +237,11 @@ class MeshEngine:
             or os.environ.get("IRTPU_DEVICE_STATS") == "1"
         )
         self._stats_interpret = jax.default_backend() != "tpu"
-        # deferred burst execution (engine.DEFER_WINDOW_BYTES rationale):
-        # only on the tunneled TPU transport
-        _defer = os.environ.get("IRTPU_DEFER", "1")
-        self._defer_exec = _defer == "force" or (
-            jax.default_backend() == "tpu" and _defer != "0"
-        )
+        # transfer schedule: measured, not assumed (transport.choose_defer
+        # probes eager vs deferred on TPU backends; IRTPU_DEFER overrides)
+        from .transport import choose_defer
+
+        self._defer_exec, self.link = choose_defer()
         self._flush_pending = None
         self._finref = None
         self._finref_thread = None
@@ -408,6 +407,7 @@ class MeshEngine:
                     m.route_s += time.perf_counter() - t0
                     m.route_rows_real += int(b.n_frags)
                     m.route_rows_padded += cf
+                    m.wire_bytes += w.nbytes
                 t1 = time.perf_counter()
                 flat = jax.device_put(w)
                 if m is not None:
@@ -425,6 +425,7 @@ class MeshEngine:
         placed = jax.device_put(arrays) if self.binned else self._place_b(arrays)
         if m is not None:
             m.h2d_s += time.perf_counter() - t1
+            m.wire_bytes += sum(int(v.nbytes) for v in arrays.values())
         return placed
 
     def process_batch(self, b: PackedBatch, st: SampleState, placed=None) -> None:
@@ -456,10 +457,11 @@ class MeshEngine:
         q2: "queue.Queue" = queue.Queue(maxsize=2)  # route/put -> consumer
         stop = threading.Event()
 
+        from .engine import wire_allowed
+
         m = st.metrics
         use_wire = (
-            self.binned and self._defer_exec and lut is not None
-            and len(self.ref.chroms) < 0x1FFF  # 13-bit wire chrom field
+            self.binned and wire_allowed(self.ref) and lut is not None
             and len(lut) < 0x7FFFF  # 19-bit wire refid field
         )
         lut_dev = jax.device_put(np.asarray(lut, np.int32)) if use_wire else None
@@ -526,7 +528,9 @@ class MeshEngine:
             np.asarray(
                 jax.tree_util.tree_leaves(st.counters)[0].reshape(-1)[0:1]
             )
-            st.metrics.device_s += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            st.metrics.device_s += dt
+            st.metrics.sync_s += dt
 
         # binned whole-genome runs carry ~2.4 GB of counters plus the
         # prewarm transients; cap the deferred window at 512 MB there for
@@ -544,11 +548,13 @@ class MeshEngine:
                 if isinstance(item, BaseException):
                     raise item
                 b, placed = item
+                tally_junctions(st.junc_tally, b)
                 if self._defer_exec:
-                    tally_junctions(st.junc_tally, b)
                     window.add((b, placed), placed_bytes(placed))
                 else:
-                    self.process_batch(b, st, placed=placed)
+                    # eager dispatch through the same exec as the deferred
+                    # burst (binned wire tuple or placed column dict)
+                    exec_one((b, placed))
                 done += 1
                 if on_batch is not None:
                     on_batch(done)
@@ -556,6 +562,9 @@ class MeshEngine:
             # results_async suffer the transfer collapse while step execs
             # are in flight (engine.run_stream rationale)
             window.flush(sync=True)
+            if self.link is not None and self.link.idle_mbs > 0 and m.wire_bytes:
+                m.wire_rate_mbs = self.link.idle_mbs
+                m.wire_floor_s = m.wire_bytes / (self.link.idle_mbs * 1e6)
         finally:
             self._flush_pending = None
             stop.set()
@@ -659,7 +668,8 @@ def run_bam_mesh(
     if config is not None:
         cap_frags = config.cap_frags
         use_native = config.use_native
-        n_threads = config.decoder_threads
+        if config.decoder_threads is not None:
+            n_threads = config.decoder_threads
         checkpoint = config.checkpoint
         checkpoint_every = config.checkpoint_every
         long_reads = config.long_reads

@@ -74,6 +74,11 @@ class PackedBatch:
     # packed wire buffer (pack_wire layout, 36 B/frag vs fused's 68) — the
     # native decoder pre-builds it; engine lazily packs when absent
     wire: np.ndarray | None = None
+    # False when the decoder skipped filling the block/frag columns on the
+    # Engine.wire_ok promise (open_decoder full_columns=False): such a batch
+    # carries ONLY `wire` and must never feed the fused/column step — the
+    # engine raises instead of shipping never-filled zero columns
+    columns_full: bool = True
     # opaque decoder-state token (shared format between the native and Python
     # decoders, see io/bampy.py): re-opening the BAM with this token
     # reproduces the stream AFTER this batch — the checkpoint/resume seek
@@ -250,7 +255,7 @@ def pack_wire_cols(
     if frag_refid.size and int(frag_refid.max()) >= WIRE_REFID_PAD:
         raise ValueError(
             f"BAM refid >= {WIRE_REFID_PAD}: header has too many reference "
-            "sequences for the 19-bit wire refid field (set IRTPU_DEFER=0)"
+            "sequences for the 19-bit wire refid field (set IRTPU_WIRE=0)"
         )
     rfield = np.where(pad_f, WIRE_REFID_PAD, frag_refid).astype(np.uint32)
     fmeta = (

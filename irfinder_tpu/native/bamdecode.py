@@ -219,6 +219,7 @@ def _wrap_handle(lib, h, chrom_index: dict, full_columns: bool = True):
                     )
                 pb.n_blocks, pb.n_gaps, pb.n_frags = nb, ng, nf
                 pb.n_reads = int(view.n_reads)
+                pb.columns_full = full_columns
                 need = lib.bd_token(h, None, 0)
                 tbuf = ctypes.create_string_buffer(need)
                 lib.bd_token(h, tbuf, need)
