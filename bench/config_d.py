@@ -72,6 +72,7 @@ def main() -> None:
         out_path=os.path.join(out_root, "IRFinder-Diff.txt"), min_cov=None,
     )
     diff_s = time.perf_counter() - t1
+    m0 = metrics[0]
     print(
         json.dumps(
             {
@@ -82,6 +83,18 @@ def main() -> None:
                 "n_reads": total,
                 "wall_s": round(dt, 2),
                 "diff_s": round(diff_s, 2),
+                # phase decomposition vs config A (round-4 verdict #2):
+                # stream wall, finalize-drain wall, then per-phase sums
+                # across samples (feeders overlap, so sums > wall)
+                "stream_wall_s": round(m0.multi_stream_s, 2),
+                "finalize_wall_s": round(m0.multi_finalize_s, 2),
+                "decode_s_sum": round(sum(m.decode_s for m in metrics), 2),
+                "h2d_s_sum": round(sum(m.h2d_s for m in metrics), 2),
+                "device_s_sum": round(sum(m.device_s for m in metrics), 2),
+                "sync_s_sum": round(sum(m.sync_s for m in metrics), 2),
+                "finalize_s_sum": round(sum(m.finalize_s for m in metrics), 2),
+                "wire_bytes": sum(m.wire_bytes for m in metrics),
+                "wire_floor_s": round(sum(m.wire_floor_s for m in metrics), 2),
             }
         )
     )

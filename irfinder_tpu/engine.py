@@ -25,7 +25,7 @@ import jax
 import numpy as np
 
 from . import format as fmt
-from .finalize import detect_directionality, intron_rows, junction_counters
+from .finalize import detect_directionality, intron_table, junction_counters
 from .junctions import JuncTally
 from .io.bampy import BamHeader, decode_bam
 from .io.batch import PackedBatch
@@ -69,6 +69,11 @@ class RunMetrics:
     #: wall spent waiting in deferred-window flush syncs (transfer drain +
     #: burst execution; a subset of device_s)
     sync_s: float = 0.0
+    #: multi-sample (config D) phase walls, identical on every sample's
+    #: metrics: run_multi_stream wall and the finalize/format drain wall —
+    #: the decomposition that locates the batch-mode gap vs config A
+    multi_stream_s: float = 0.0
+    multi_finalize_s: float = 0.0
     is_stranded: bool = False
     flip_strand: bool = False
     dir_concordance: float = 0.0
@@ -507,10 +512,14 @@ class Engine:
                 done += 1
                 if on_batch is not None:
                     on_batch(done)
-            # sync the final burst too: the finalize/stats D2H pulls suffer
-            # the same transfer collapse as H2D while step execs are in
-            # flight, so results_async must start on an idle device
-            window.flush(sync=True)
+            # sync the stream end under EITHER schedule: the finalize/stats
+            # D2H pulls suffer the same transfer collapse as H2D while step
+            # execs / trailing transfers are in flight, so results_async
+            # must start on an idle device
+            if self._defer_exec:
+                window.flush(sync=True)
+            else:
+                sync_pull()
             self._annotate_wire(m)
         finally:
             self._flush_pending = None
@@ -649,9 +658,18 @@ class Engine:
                     window.add((b, st, flat), flat.nbytes)
                 else:
                     exec_one((b, st, flat))
-            # sync the final burst: the per-sample finalize/stats pulls that
-            # follow suffer the transfer collapse while execs are in flight
-            window.flush(sync=True)
+            # sync the stream end under EITHER schedule: the per-sample
+            # finalize/stats pulls that follow suffer the transfer collapse
+            # while execs / trailing transfers are in flight
+            if self._defer_exec:
+                window.flush(sync=True)
+            else:
+                for _it, st_s, _lut in streams:
+                    t0 = time.perf_counter()
+                    np.asarray(st_s.counters["cnt"][0:1])
+                    dt = time.perf_counter() - t0
+                    st_s.metrics.device_s += dt
+                    st_s.metrics.sync_s += dt
             for _it, st_s, _lut in streams:
                 self._annotate_wire(st_s.metrics)
         finally:
@@ -736,8 +754,8 @@ class Engine:
             )
             out = {
                 "counters": fc,
-                "rows_nondir": intron_rows(*args, mode="nondir", stats_cache=cache),
-                "rows_dir": intron_rows(
+                "rows_nondir": intron_table(*args, mode="nondir", stats_cache=cache),
+                "rows_dir": intron_table(
                     *args, mode="dir", flip_strand=flip, stats_cache=cache
                 ),
                 "stranded": stranded,
@@ -787,8 +805,8 @@ class Engine:
         )
         out = {
             "counters": fc,
-            "rows_nondir": intron_rows(*args, mode="nondir", stats_cache=cache),
-            "rows_dir": intron_rows(*args, mode="dir", flip_strand=flip, stats_cache=cache),
+            "rows_nondir": intron_table(*args, mode="nondir", stats_cache=cache),
+            "rows_dir": intron_table(*args, mode="dir", flip_strand=flip, stats_cache=cache),
             "stranded": stranded,
             "flip_strand": flip,
         }
@@ -1055,13 +1073,20 @@ def run_multi_bam(
         st = engine.new_state(n_refids=len(header.ref_names))
         streams.append({"it": batches, "st": st, "hdr": header, "stats": stats})
 
+    t_stream = time.perf_counter()
     engine.run_multi_stream(
         [(s["it"], s["st"], s["hdr"].chrom_lut) for s in streams]
     )
+    stream_wall = time.perf_counter() - t_stream
 
+    t_fin = time.perf_counter()
     out_metrics = []
-    # dispatch every sample's finalize + stats programs first, then unpack:
-    # the device computes sample i+1 while the host joins/formats sample i
+    # dispatch every sample's finalize + stats programs first, then drain
+    # IN ORDER: the device computes sample i+1 while the host joins/formats
+    # sample i.  (A thread-pooled drain was tried and measured 30% SLOWER:
+    # concurrent D2H pulls through the tunneled link collapse each other —
+    # the serial drain keeps exactly one pull in flight.)  The host side per
+    # sample is cheap since table rendering moved to native/tabfmt.
     finishes = [engine.results_async(st=s["st"]) for s in streams]
     for s, out_dir, finish in zip(streams, out_dirs, finishes):
         st = s["st"]
@@ -1077,6 +1102,10 @@ def run_multi_bam(
         # across samples); `wall` is only used for the aggregate bench number
         write_outputs(out_dir, ref, s["hdr"], engine, res, st=st, skip_junc=True)
         out_metrics.append(st.metrics)
+    fin_wall = time.perf_counter() - t_fin
+    for m in out_metrics:
+        m.multi_stream_s = stream_wall
+        m.multi_finalize_s = fin_wall
     return out_metrics
 
 

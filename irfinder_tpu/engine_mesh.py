@@ -42,7 +42,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from .engine import RunMetrics, SampleState, open_decoder, tally_junctions, write_outputs
-from .finalize import detect_directionality, intron_rows, junction_counters
+from .finalize import detect_directionality, intron_table, junction_counters
 from .io.batch import PackedBatch
 from .ops.step import count_step, _JIT_CACHE
 from .parallel.genome import (
@@ -626,8 +626,8 @@ class MeshEngine:
             args = (self.ref, fc["depth"], sc, ec, xc, fc["span_hits"])
             out = {
                 "counters": fc,
-                "rows_nondir": intron_rows(*args, mode="nondir", stats_cache=cache),
-                "rows_dir": intron_rows(
+                "rows_nondir": intron_table(*args, mode="nondir", stats_cache=cache),
+                "rows_dir": intron_table(
                     *args, mode="dir", flip_strand=flip, stats_cache=cache
                 ),
                 "stranded": stranded,

@@ -114,7 +114,7 @@ def _depth_stats_vectorized(ref: CompiledRef, dsum: np.ndarray, chunk: int = 256
     return cov, mean, p[0], p[1], p[2], firstw, lastw
 
 
-def intron_rows(
+def _intron_arrays(
     ref: CompiledRef,
     depth: np.ndarray,
     start_cnt: np.ndarray,
@@ -124,10 +124,10 @@ def intron_rows(
     mode: str = "nondir",
     flip_strand: bool = False,
     stats_cache: dict | None = None,
-) -> list:
-    """Finalize counters into IntronRow records — vectorized host join
-    (chunked NumPy over the CSR run structure; the per-intron reference loop
-    is kept as intron_rows_loop and equivalence-tested).
+) -> dict:
+    """Shared column math behind intron_rows / intron_table: the vectorized
+    host join (chunked NumPy over the CSR run structure; the per-intron
+    reference loop is kept as intron_rows_loop and equivalence-tested).
 
     mode: "nondir" sums both fragment strands; "dir" keeps only fragments
     whose (optionally flipped) strand matches the intron strand.
@@ -174,31 +174,146 @@ def intron_rows(
     sx = cnt(exact_cnt, ref.intron_pair_idx)
     eil = cnt(span_hits, ref.intron_pstart_idx)
     eir = cnt(span_hits, ref.intron_pend_idx)
+    return {
+        "istrand": istrand, "cov": cov, "mean": mean,
+        "p25": p25, "p50": p50, "p75": p75,
+        "firstw": firstw, "lastw": lastw,
+        "eil": eil, "eir": eir, "sl": sl, "sr": sr, "sx": sx,
+    }
 
-    # ndarray scalar indexing costs ~1 us/element; .tolist() converts each
-    # column once so the 17-field x n_introns assembly is pure-Python speed
-    # (values identical: int64.tolist() -> int, float64.tolist() -> float)
-    chroms = ref.chroms
-    cols = (
-        [chroms[c] for c in ref.intron_chrom.tolist()],
-        ref.intron_start.tolist(),
-        ref.intron_end.tolist(),
-        ref.intron_names,
-        [STRAND_CHAR[s] for s in istrand.tolist()],
-        cov.tolist(),
-        mean.tolist(),
-        p25.tolist(),
-        p50.tolist(),
-        p75.tolist(),
-        eil.tolist(),
-        eir.tolist(),
-        firstw.tolist(),
-        lastw.tolist(),
-        sl.tolist(),
-        sr.tolist(),
-        sx.tolist(),
+
+def ratio_warning_arrays(a: dict) -> tuple:
+    """Vectorized IRratio + warning code per intron, numerically identical
+    to the scalar semantics.ir_ratio / semantics.warning_flag (same float64
+    operations in the same order; equivalence-tested).  Warning codes index
+    (WARNING_NONE,) + WARNING_ORDER."""
+    mean, sl, sr, sx = a["mean"], a["sl"], a["sr"], a["sx"]
+    smax = np.maximum(sl, sr)
+    denom = mean + smax
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(denom > 0.0, mean / np.where(denom > 0.0, denom, 1.0), 0.0)
+    widx = np.select(
+        [
+            mean < S.WARN_LOW_COVER_DEPTH,
+            smax < S.WARN_LOW_SPLICING_COUNT,
+            sx * S.WARN_MINOR_ISOFORM_MULT < smax,
+            (a["p75"] - a["p25"]) > S.WARN_NONUNIFORM_IQR_VS_MEAN * mean,
+        ],
+        [1, 2, 3, 4],
+        default=0,
+    ).astype(np.int32)
+    return ratio, widx
+
+
+class IRTable:
+    """Column-oriented IR table: everything intron_rows computes, kept as
+    arrays so format.write_ir_table can render the whole table in one
+    native call (native/tabfmt).  Iterates as IntronRow records for
+    compatibility with row consumers."""
+
+    def __init__(self, ref: CompiledRef, arrays: dict):
+        self.ref = ref
+        self.a = arrays
+
+    def __len__(self) -> int:
+        return int(self.ref.n_introns)
+
+    def rows(self) -> list:
+        a, ref = self.a, self.ref
+        chroms = ref.chroms
+        cols = (
+            [chroms[c] for c in ref.intron_chrom.tolist()],
+            ref.intron_start.tolist(),
+            ref.intron_end.tolist(),
+            ref.intron_names,
+            [STRAND_CHAR[s] for s in a["istrand"].tolist()],
+            a["cov"].tolist(),
+            a["mean"].tolist(),
+            a["p25"].tolist(),
+            a["p50"].tolist(),
+            a["p75"].tolist(),
+            a["eil"].tolist(),
+            a["eir"].tolist(),
+            a["firstw"].tolist(),
+            a["lastw"].tolist(),
+            a["sl"].tolist(),
+            a["sr"].tolist(),
+            a["sx"].tolist(),
+        )
+        return [S.IntronRow(*vals) for vals in zip(*cols)]
+
+    def __iter__(self):
+        return iter(self.rows())
+
+    def native_columns(self) -> list:
+        """The 20-column spec for native/tabfmt.format_table, including the
+        vectorized IRratio + warning columns."""
+        a, ref = self.a, self.ref
+        n = int(ref.n_introns)
+        ratio, widx = ratio_warning_arrays(a)
+        return [
+            ("s", ref.intron_chrom, ref.chroms),
+            ("i", ref.intron_start),
+            ("i", ref.intron_end),
+            ("s", np.arange(n, dtype=np.int32), ref.intron_names),
+            ("i", np.zeros(n, np.int64)),  # Null placeholder column
+            ("s", a["istrand"], [STRAND_CHAR[k] for k in sorted(STRAND_CHAR)]),
+            ("g", a["cov"]),
+            ("g", a["mean"]),
+            ("i", a["p25"]),
+            ("i", a["p50"]),
+            ("i", a["p75"]),
+            ("i", a["eil"]),
+            ("i", a["eir"]),
+            ("g", a["firstw"]),
+            ("g", a["lastw"]),
+            ("i", a["sl"]),
+            ("i", a["sr"]),
+            ("i", a["sx"]),
+            ("g", ratio),
+            ("s", widx, [S.WARNING_NONE, *S.WARNING_ORDER]),
+        ]
+
+
+def intron_table(
+    ref: CompiledRef,
+    depth: np.ndarray,
+    start_cnt: np.ndarray,
+    end_cnt: np.ndarray,
+    exact_cnt: np.ndarray,
+    span_hits: np.ndarray,
+    mode: str = "nondir",
+    flip_strand: bool = False,
+    stats_cache: dict | None = None,
+) -> IRTable:
+    """Column-oriented variant of intron_rows (same math, same arguments):
+    what the engine result paths hold so table writing stays bulk/native."""
+    return IRTable(
+        ref,
+        _intron_arrays(
+            ref, depth, start_cnt, end_cnt, exact_cnt, span_hits,
+            mode=mode, flip_strand=flip_strand, stats_cache=stats_cache,
+        ),
     )
-    return [S.IntronRow(*vals) for vals in zip(*cols)]
+
+
+def intron_rows(
+    ref: CompiledRef,
+    depth: np.ndarray,
+    start_cnt: np.ndarray,
+    end_cnt: np.ndarray,
+    exact_cnt: np.ndarray,
+    span_hits: np.ndarray,
+    mode: str = "nondir",
+    flip_strand: bool = False,
+    stats_cache: dict | None = None,
+) -> list:
+    """Finalize counters into IntronRow records (see _intron_arrays for the
+    vectorized join)."""
+    return intron_table(
+        ref, depth, start_cnt, end_cnt, exact_cnt, span_hits,
+        mode=mode, flip_strand=flip_strand, stats_cache=stats_cache,
+    ).rows()
 
 
 def intron_rows_loop(

@@ -23,11 +23,33 @@ def fmt_float(v: float) -> str:
     return f"{v:g}"
 
 
-def write_ir_table(out: IO[str], rows: Iterable[S.IntronRow], header: bool = True) -> None:
+def _native_render(cols) -> str | None:
+    """Bulk-render a column spec through native/tabfmt (one GIL-released C
+    call); None when the native library is unavailable (callers fall back
+    to the per-line Python loop, which remains the formatting SPEC —
+    tests/test_tabfmt.py pins byte-parity)."""
+    try:
+        from .native import tabfmt
+
+        return tabfmt.format_table(cols).decode("ascii")
+    except (RuntimeError, UnicodeDecodeError):
+        return None
+
+
+def write_ir_table(out: IO[str], rows, header: bool = True) -> None:
     """IRFinder-IR-nondir.txt / IRFinder-IR-dir.txt (SURVEY.md §2 column spec,
-    20 columns [R:verify order])."""
+    20 columns [R:verify order]).  `rows`: an iterable of IntronRow, or a
+    finalize.IRTable (column-oriented; rendered in one native call)."""
     if header:
         out.write("\t".join(S.IR_TABLE_COLUMNS) + "\n")
+    from .finalize import IRTable
+
+    if isinstance(rows, IRTable):
+        data = _native_render(rows.native_columns())
+        if data is not None:
+            out.write(data)
+            return
+        rows = rows.rows()
     f = fmt_float
     for r in rows:
         out.write(
@@ -70,6 +92,19 @@ def write_junc_count(out: IO[str], chroms: Sequence[str], junc_tally) -> None:
 
     out.write("Chr\tStart\tEnd\tFwd\tRev\tTotal\n")
     keys, vals = coerce_tally(junc_tally).merged()  # already (c,s,e)-sorted
+    data = _native_render(
+        [
+            ("s", keys[:, 0], list(chroms)),
+            ("i", keys[:, 1]),
+            ("i", keys[:, 2]),
+            ("i", vals[:, 0]),
+            ("i", vals[:, 1]),
+            ("i", vals[:, 0] + vals[:, 1]),
+        ]
+    ) if len(keys) else ""
+    if data is not None:
+        out.write(data)
+        return
     out.writelines(
         f"{chroms[c]}\t{s}\t{e}\t{fwd}\t{rev}\t{fwd + rev}\n"
         for (c, s, e), (fwd, rev) in zip(keys.tolist(), vals.tolist())
@@ -82,10 +117,25 @@ def write_spans_point(out: IO[str], ref: CompiledRef, span_hits: np.ndarray) -> 
     Columns [R:verify]: Chr Coord Fwd Rev Total."""
     out.write("Chr\tCoord\tFwd\tRev\tTotal\n")
     n = int(ref.point_coord.size)
-    cs = (np.searchsorted(ref.point_seg, np.arange(n), side="right") - 1).tolist()
+    cs_arr = np.searchsorted(ref.point_seg, np.arange(n), side="right") - 1
+    fwd_arr = np.asarray(span_hits[0][:n])
+    rev_arr = np.asarray(span_hits[1][:n])
+    data = _native_render(
+        [
+            ("s", cs_arr, list(ref.chroms)),
+            ("i", ref.point_coord),
+            ("i", fwd_arr),
+            ("i", rev_arr),
+            ("i", fwd_arr.astype(np.int64) + rev_arr),
+        ]
+    ) if n else ""
+    if data is not None:
+        out.write(data)
+        return
+    cs = cs_arr.tolist()
     coords = ref.point_coord.tolist()
-    fwds = np.asarray(span_hits[0]).tolist()
-    revs = np.asarray(span_hits[1]).tolist()
+    fwds = fwd_arr.tolist()
+    revs = rev_arr.tolist()
     chroms = ref.chroms
     out.writelines(
         f"{chroms[c]}\t{co}\t{f}\t{r}\t{f + r}\n"
