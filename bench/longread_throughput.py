@@ -61,9 +61,21 @@ def main() -> None:
             for r in range(reps):
                 t0 = time.perf_counter()
                 m = run_bam(ref, bam, os.path.join(tmp, f"{label}_{r}"), config=cfg)
-                dt = min(dt, time.perf_counter() - t0)
+                if time.perf_counter() - t0 < dt:
+                    dt = time.perf_counter() - t0
+                    best_m = m
             out[f"{label}_reads_per_s"] = round(m.reads_total / dt, 1)
             out[f"{label}_wall_s"] = round(dt, 2)
+            # per-stage decomposition (round-4 verdict #6): which stage binds
+            m = best_m
+            out[f"{label}_decode_s"] = round(m.decode_s, 2)
+            out[f"{label}_h2d_s"] = round(m.h2d_s, 2)
+            out[f"{label}_device_s"] = round(m.device_s, 2)
+            out[f"{label}_sync_s"] = round(m.sync_s, 2)
+            out[f"{label}_finalize_s"] = round(m.finalize_s, 2)
+            out[f"{label}_wire_mb"] = round(m.wire_bytes / 1e6, 1)
+            out[f"{label}_wire_floor_s"] = round(m.wire_floor_s, 2)
+            out[f"{label}_batches"] = m.batches
             results[label] = os.path.join(tmp, f"{label}_0")
         # geometry is a padding knob ONLY: tables must be byte-identical
         for t in (

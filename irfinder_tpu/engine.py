@@ -437,14 +437,20 @@ class Engine:
                         return
                     t0 = time.perf_counter()
                     if use_wire:
+                        from .io.batch import pack_wire, trim_wire
+
                         w = item.wire
                         if w is None:
-                            from .io.batch import pack_wire
-
                             w = pack_wire(item)
+                        w, bs_, fs_ = trim_wire(
+                            w, item.cap_blocks, item.cap_frags,
+                            item.n_blocks, item.n_frags,
+                        )
+                        ship = (bs_, fs_)
                         m.wire_bytes += w.nbytes
                         flat = jax.device_put(w)
                     else:
+                        ship = None
                         if not item.columns_full:
                             # the decoder skipped the block/frag columns on
                             # the wire_ok promise; falling back to the fused
@@ -460,7 +466,7 @@ class Engine:
                         m.wire_bytes += fz.nbytes
                         flat = jax.device_put(fz)
                     m.h2d_s += time.perf_counter() - t0
-                    if not q_put(q2, (item, flat), stop):
+                    if not q_put(q2, (item, flat, ship), stop):
                         return
             except BaseException as e:
                 q_put(q2, e, stop)
@@ -472,10 +478,10 @@ class Engine:
         done = 0
 
         def exec_one(item) -> None:
-            b_, flat_ = item
+            b_, flat_, ship_ = item
             t0 = time.perf_counter()
             if use_wire:
-                stp = make_wire_step(b_.cap_blocks, b_.cap_frags)
+                stp = make_wire_step(*ship_)  # trimmed ship shapes
                 st_.counters = stp(self.dref, st_.counters, flat_, lut_dev)
             else:
                 stp = make_fused_step(b_.cap_blocks, b_.cap_frags)
@@ -501,14 +507,14 @@ class Engine:
                     break
                 if isinstance(item, BaseException):
                     raise item
-                b, flat = item
+                b, flat, ship = item
                 self._tally_junctions(st_, b)
                 if self._defer_exec:
-                    window.add((b, flat), flat.nbytes)
+                    window.add((b, flat, ship), flat.nbytes)
                 else:
                     # eager dispatch through the same exec as the deferred
                     # burst (wire or fused step per use_wire)
-                    exec_one((b, flat))
+                    exec_one((b, flat, ship))
                 done += 1
                 if on_batch is not None:
                     on_batch(done)
@@ -578,14 +584,19 @@ class Engine:
                     st.metrics.decode_s += time.perf_counter() - t0
                     t0 = time.perf_counter()
                     if use_wire:
+                        from .io.batch import pack_wire, trim_wire
+
                         w = b.wire
                         if w is None:
-                            from .io.batch import pack_wire
-
                             w = pack_wire(b)
+                        w, bs_, fs_ = trim_wire(
+                            w, b.cap_blocks, b.cap_frags, b.n_blocks, b.n_frags
+                        )
+                        ship = (bs_, fs_)
                         st.metrics.wire_bytes += w.nbytes
                         flat = jax.device_put(w)
                     else:
+                        ship = None
                         if not b.columns_full:
                             raise RuntimeError(
                                 "wire-eligible decoder batch (columns_full="
@@ -597,7 +608,7 @@ class Engine:
                         st.metrics.wire_bytes += fz.nbytes
                         flat = jax.device_put(fz)
                     st.metrics.h2d_s += time.perf_counter() - t0
-                    if not q_put(q, (b, st, flat), stop):
+                    if not q_put(q, (b, st, flat, ship), stop):
                         return
                 q_put(q, DONE, stop)
             except BaseException as e:
@@ -615,10 +626,10 @@ class Engine:
         last_synced = [streams[0][1]] if streams else [None]
 
         def exec_one(item) -> None:
-            b_, st_, flat_ = item
+            b_, st_, flat_, ship_ = item
             t0 = time.perf_counter()
             if use_wire:
-                stp = make_wire_step(b_.cap_blocks, b_.cap_frags)
+                stp = make_wire_step(*ship_)  # trimmed ship shapes
                 st_.counters = stp(
                     self.dref, st_.counters, flat_, lut_dev[id(st_)]
                 )
@@ -652,12 +663,12 @@ class Engine:
                     continue
                 if isinstance(item, BaseException):
                     raise item
-                b, st, flat = item
+                b, st, flat, ship = item
                 self._tally_junctions(st, b)
                 if self._defer_exec:
-                    window.add((b, st, flat), flat.nbytes)
+                    window.add((b, st, flat, ship), flat.nbytes)
                 else:
-                    exec_one((b, st, flat))
+                    exec_one((b, st, flat, ship))
             # sync the stream end under EITHER schedule: the per-sample
             # finalize/stats pulls that follow suffer the transfer collapse
             # while execs / trailing transfers are in flight

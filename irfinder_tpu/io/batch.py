@@ -324,6 +324,37 @@ def unpack_wire(flat, cap_blocks: int, cap_frags: int, lut) -> dict:
     )
 
 
+#: trim_wire ship-shape quantum (rows): shipped section sizes round up to
+#: multiples of this so a stream sees only a handful of distinct wire-step
+#: shapes (each new shape compiles one step specialization; the persistent
+#: compile cache absorbs repeats across runs)
+WIRE_TRIM_QUANTUM = 8192
+
+
+def trim_wire(
+    w: np.ndarray, cap_blocks: int, cap_frags: int,
+    n_blocks: int, n_frags: int, quantum: int = WIRE_TRIM_QUANTUM,
+) -> "tuple[np.ndarray, int, int]":
+    """Used-prefix wire slice at quantized shapes -> (buffer, B_ship,
+    F_ship).  Decoders flush a batch when EITHER column fills, so the other
+    column ships substantial padding at full caps (measured ~35% of block
+    lanes on the paired-end mix, ~2.6x on --long-reads where the geometry
+    ratio overshoots the actual blocks/read) — and shipped bytes are the
+    e2e ceiling on weak links.  Lanes beyond the used counts are
+    pad-encoded by pack_wire, so any quantized prefix >= the used count
+    unpacks to identical counters (tested)."""
+    B, F = cap_blocks, cap_frags
+    bs = min(B, -(-max(n_blocks, 1) // quantum) * quantum)
+    fs = min(F, -(-max(n_frags, 1) // quantum) * quantum)
+    if bs >= B and fs >= F:
+        return w, B, F
+    return (
+        np.concatenate([w[0:bs], w[B : B + bs], w[2 * B : 2 * B + fs]]),
+        bs,
+        fs,
+    )
+
+
 def device_batch(arrays: dict) -> dict:
     """Strip host-only (gap) columns from a raw batch-array dict so callers
     holding synthetic array dicts (bench, dry runs) ship the same column set
