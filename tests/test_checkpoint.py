@@ -139,3 +139,88 @@ def test_mesh_restore_rejects_other_spec(tmp_path, ref):
     other = MeshEngine(ref, MeshSpec(dp=4, genome=2), cap_frags=64)
     with pytest.raises(ValueError, match="shape mismatch"):
         other.restore_state(load_checkpoint(ckpt))
+
+
+def test_packed_snapshot_roundtrip_with_overflow(tmp_path):
+    """The int8-packed snapshot must reconstruct counters EXACTLY, including
+    values beyond int8 range (the overflow escape list) and negative deltas."""
+    import numpy as np
+
+    from irfinder_tpu import checkpoint as ck
+
+    rng = np.random.default_rng(0)
+    cnt = np.zeros(200_000, np.int32)
+    idx = rng.integers(0, cnt.size, 30_000)
+    cnt[idx] = rng.integers(-5, 6, idx.size)
+    big = rng.integers(0, cnt.size, 500)
+    cnt[big] = rng.integers(-100_000, 100_000, big.size)
+    words, oidx, ovals = ck._pull_packed_i8(cnt)
+    assert words.dtype == np.uint32 and words.size == -(-cnt.size // 4)
+    rec = ck._unpack_words(words, cnt.shape, oidx, ovals)
+    np.testing.assert_array_equal(rec, cnt)
+    # 2D (mesh-stacked) counters too
+    cnt2 = cnt.reshape(4, -1)
+    words, oidx, ovals = ck._pull_packed_i8(cnt2)
+    rec = ck._unpack_words(words, cnt2.shape, oidx, ovals)
+    np.testing.assert_array_equal(rec, cnt2)
+    # non-multiple-of-4 size exercises the pad lane
+    cnt3 = cnt[:-3]
+    words, oidx, ovals = ck._pull_packed_i8(cnt3)
+    rec = ck._unpack_words(words, cnt3.shape, oidx, ovals)
+    np.testing.assert_array_equal(rec, cnt3)
+    # device path (single-device jax array) must match the host path
+    import jax.numpy as jnp
+
+    wd, od, vd = ck._pull_packed_i8(jnp.asarray(cnt))
+    wh, oh, vh = ck._pack_host(cnt)
+    np.testing.assert_array_equal(np.asarray(wd), wh)
+    np.testing.assert_array_equal(np.asarray(od), oh)
+    np.testing.assert_array_equal(np.asarray(vd), vh)
+
+
+def test_packed_snapshot_save_load_exact(tmp_path):
+    """save_checkpoint/load_checkpoint with packing on vs off: identical."""
+    import dataclasses
+
+    import numpy as np
+
+    from irfinder_tpu import checkpoint as ck
+
+    rng = np.random.default_rng(1)
+
+    @dataclasses.dataclass
+    class FakeMetrics:
+        batches: int = 7
+
+    @dataclasses.dataclass
+    class FakeState:
+        counters: dict
+        junc_tally: dict
+        metrics: FakeMetrics
+        n_refids: int = 3
+        resume_token: bytes = b"tok"
+
+    cnt = rng.integers(-300, 300, 50_000).astype(np.int32)
+    chrn = rng.integers(0, 99, 4).astype(np.int32)
+    st = FakeState(
+        counters={"cnt": cnt, "chr": chrn},
+        junc_tally={(0, 10, 20): [3, 4]},
+        metrics=FakeMetrics(),
+    )
+    outs = {}
+    for packed in (True, False):
+        import os
+
+        os.environ["IRTPU_CKPT_PACK"] = "1" if packed else "0"
+        try:
+            p = str(tmp_path / f"snap_{packed}.ckpt")
+            ck.save_checkpoint(p, st)
+            outs[packed] = ck.load_checkpoint(p)
+        finally:
+            os.environ.pop("IRTPU_CKPT_PACK", None)
+    (ca, cha), _, ba, na, ta = outs[True]
+    (cb, chb), _, bb, nb, tb = outs[False]
+    np.testing.assert_array_equal(ca, cb)
+    np.testing.assert_array_equal(cha, chb)
+    assert (ba, na, ta) == (bb, nb, tb)
+    np.testing.assert_array_equal(ca, cnt)
