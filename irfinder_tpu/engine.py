@@ -500,6 +500,7 @@ class Engine:
 
         window = DeferredWindow(exec_one, sync_pull)
         self._flush_pending = window.flush
+        eager_bytes = 0
         try:
             while True:
                 item = q2.get()
@@ -513,8 +514,16 @@ class Engine:
                     window.add((b, flat, ship), flat.nbytes)
                 else:
                     # eager dispatch through the same exec as the deferred
-                    # burst (wire or fused step per use_wire)
+                    # burst (wire or fused step per use_wire).  Async
+                    # dispatch holds each batch buffer until its exec runs
+                    # on device, so eager needs the SAME in-flight byte
+                    # bound as the deferred window — an unbounded eager
+                    # stream OOM'd HBM at whole-genome counter scale.
                     exec_one((b, flat, ship))
+                    eager_bytes += flat.nbytes
+                    if eager_bytes >= window._limit:
+                        sync_pull()
+                        eager_bytes = 0
                 done += 1
                 if on_batch is not None:
                     on_batch(done)
@@ -655,6 +664,7 @@ class Engine:
             st_.metrics.sync_s += dt
 
         window = DeferredWindow(exec_one, sync_pull)
+        eager_bytes = 0
         try:
             while live:
                 item = q.get()
@@ -668,7 +678,13 @@ class Engine:
                 if self._defer_exec:
                     window.add((b, st, flat, ship), flat.nbytes)
                 else:
+                    # eager with the deferred window's in-flight byte bound
+                    # (run_stream rationale: async dispatch holds buffers)
                     exec_one((b, st, flat, ship))
+                    eager_bytes += flat.nbytes
+                    if eager_bytes >= window._limit:
+                        sync_pull()
+                        eager_bytes = 0
             # sync the stream end under EITHER schedule: the per-sample
             # finalize/stats pulls that follow suffer the transfer collapse
             # while execs / trailing transfers are in flight
@@ -776,6 +792,100 @@ class Engine:
             return out
 
         return finish
+
+    def results_multi_async(self, sts: "list[SampleState]") -> list:
+        """Batched finalize for N samples sharing this Engine (config D).
+        The serial per-sample drain paid per-dispatch tunnel latency N times
+        over (N stats dispatches + ~4N small-counter pulls); here the stats
+        programs run as ONE lax.map program with one packed D2H, and every
+        sample's small counters ride one concatenated pull.  The junction
+        joins run first (host, overlapping the counter-finalize programs),
+        so each sample's directionality is known and the batched program
+        gets the CORRECT flip plane — no optimistic re-dispatch.  Returns
+        one finish callable per sample (same bundles as results_async)."""
+        if not self._device_stats or len(sts) <= 1:
+            return [self.results_async(st=s) for s in sts]
+        import jax.numpy as jnp
+
+        from .ops.finalize_stats import device_all_stats_multi_async
+
+        t0 = time.perf_counter()
+        fins = [self._finalize(self.dref, st.counters) for st in sts]
+        # host junction joins + directionality overlap the finalize programs
+        joins = []
+        for st in sts:
+            sc, ec, xc = junction_counters(self.ref, st.junc_tally)
+            stranded, flip, frac, n_inf = detect_directionality(self.ref, xc)
+            st.metrics.is_stranded = bool(stranded)
+            st.metrics.flip_strand = bool(flip)
+            st.metrics.dir_concordance = float(frac)
+            st.metrics.dir_informative = int(n_inf)
+            joins.append((sc, ec, xc, stranded, flip))
+        pending_multi = device_all_stats_multi_async(
+            self.ref, self._get_finref(),
+            [f["depth"] for f in fins],
+            [1 if j[4] else 0 for j in joins],
+            interpret=self._stats_interpret,
+        )
+        # one concatenated pull for every sample's small counters
+        small_keys = [k for k in fins[0] if k != "depth"]
+        specs = []  # (sample, key, shape, size)
+        chunks = []
+        for i, f in enumerate(fins):
+            for k in small_keys:
+                a = f[k]
+                specs.append((i, k, a.shape, int(np.prod(a.shape))))
+                chunks.append(jnp.asarray(a).reshape(-1).astype(jnp.int32))
+        flat_small = jnp.concatenate(chunks) if chunks else jnp.zeros(0, jnp.int32)
+        state: dict = {}
+
+        def pull_all():
+            if "small" in state:
+                return
+            state["stats"] = pending_multi()
+            flat = np.asarray(flat_small)
+            smalls: list = [dict() for _ in sts]
+            pos = 0
+            for i, k, shape, size in specs:
+                smalls[i][k] = flat[pos : pos + size].reshape(shape)
+                pos += size
+            state["small"] = smalls
+
+        dt0 = time.perf_counter() - t0
+        per = dt0 / max(1, len(sts))
+        for st in sts:
+            st.metrics.finalize_s += per
+
+        def make_finish(i: int):
+            st = sts[i]
+            sc, ec, xc, stranded, flip = joins[i]
+
+            def finish() -> dict:
+                t1 = time.perf_counter()
+                pull_all()
+                fc = dict(state["small"][i])
+                fc["depth"] = None  # stats precomputed; depth never pulled
+                fc["n_frags"] = fc["n_frags"].reshape(())
+                fc["start_cnt"], fc["end_cnt"], fc["exact_cnt"] = sc, ec, xc
+                cache = state["stats"][i]
+                args = (self.ref, None, sc, ec, xc, fc["span_hits"])
+                out = {
+                    "counters": fc,
+                    "rows_nondir": intron_table(
+                        *args, mode="nondir", stats_cache=cache
+                    ),
+                    "rows_dir": intron_table(
+                        *args, mode="dir", flip_strand=flip, stats_cache=cache
+                    ),
+                    "stranded": stranded,
+                    "flip_strand": flip,
+                }
+                st.metrics.finalize_s += time.perf_counter() - t1
+                return out
+
+            return finish
+
+        return [make_finish(i) for i in range(len(sts))]
 
     def results(self, fc: dict | None = None, st: SampleState | None = None) -> dict:
         """Full result bundle: nondir rows, directionality call, dir rows."""
@@ -1092,13 +1202,14 @@ def run_multi_bam(
 
     t_fin = time.perf_counter()
     out_metrics = []
-    # dispatch every sample's finalize + stats programs first, then drain
-    # IN ORDER: the device computes sample i+1 while the host joins/formats
-    # sample i.  (A thread-pooled drain was tried and measured 30% SLOWER:
-    # concurrent D2H pulls through the tunneled link collapse each other —
-    # the serial drain keeps exactly one pull in flight.)  The host side per
-    # sample is cheap since table rendering moved to native/tabfmt.
-    finishes = [engine.results_async(st=s["st"]) for s in streams]
+    # batched finalize (results_multi_async): ONE stats program + ONE packed
+    # pull + one concatenated small-counter pull for all N samples, then a
+    # serial in-order drain.  (A thread-pooled drain was tried and measured
+    # 30% SLOWER: concurrent D2H pulls through the tunneled link collapse
+    # each other — the serial drain keeps exactly one pull in flight.)  The
+    # host side per sample is cheap since table rendering moved to
+    # native/tabfmt.
+    finishes = engine.results_multi_async([s["st"] for s in streams])
     for s, out_dir, finish in zip(streams, out_dirs, finishes):
         st = s["st"]
         os.makedirs(out_dir, exist_ok=True)

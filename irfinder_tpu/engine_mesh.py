@@ -242,6 +242,18 @@ class MeshEngine:
         from .transport import choose_defer
 
         self._defer_exec, self.link = choose_defer()
+        if (
+            self.binned
+            and jax.default_backend() == "tpu"
+            and os.environ.get("IRTPU_DEFER", "auto") == "auto"
+        ):
+            # the binned whole-genome form keeps the deferred schedule
+            # regardless of the probe: its 512 MB window is the HBM
+            # discipline next to 2.4 GB counters + finalize transients, and
+            # the measured A/B at config C scale favors deferred (164 s vs
+            # 171 s e2e; finalize 8 s vs 27 s — the fully-drained device
+            # runs the stats programs without residual contention)
+            self._defer_exec = True
         self._flush_pending = None
         self._finref = None
         self._finref_thread = None
@@ -540,6 +552,7 @@ class MeshEngine:
         limit = min(_DWB, 512_000_000) if self.binned else _DWB
         window = DeferredWindow(exec_one, sync_pull, limit=limit)
         self._flush_pending = window.flush
+        eager_bytes = 0
         try:
             while True:
                 item = q2.get()
@@ -553,8 +566,16 @@ class MeshEngine:
                     window.add((b, placed), placed_bytes(placed))
                 else:
                     # eager dispatch through the same exec as the deferred
-                    # burst (binned wire tuple or placed column dict)
+                    # burst (binned wire tuple or placed column dict), with
+                    # the window's in-flight byte bound: async dispatch
+                    # holds each batch buffer until its exec runs, and an
+                    # unbounded eager stream OOM'd HBM at whole-genome
+                    # counter scale (2.4 GB counters + finalize transients)
                     exec_one((b, placed))
+                    eager_bytes += placed_bytes(placed)
+                    if eager_bytes >= limit:
+                        sync_pull()
+                        eager_bytes = 0
                 done += 1
                 if on_batch is not None:
                     on_batch(done)

@@ -542,16 +542,21 @@ _SUBSET_ORDER = ("both", "A", "B")
 _dsum_both_jit = jax.jit(lambda d: d[0] + d[1])
 
 
+def _fn_cache_of(finref: FinalizeRef) -> dict:
+    cache = getattr(finref, "_fn_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(finref, "_fn_cache", cache)
+    return cache
+
+
 def _all_stats_fn(finref: FinalizeRef, interpret: bool):
     """One jitted program computing every variant's sums + percentile bins,
     packed into a single int32 vector (ONE dispatch + ONE D2H per sample —
     per-call latency dominates finalize on tunneled chips, and batch mode
     finalizes N samples)."""
     key = ("_all_stats", interpret)
-    cache = getattr(finref, "_fn_cache", None)
-    if cache is None:
-        cache = {}
-        object.__setattr__(finref, "_fn_cache", cache)
+    cache = _fn_cache_of(finref)
     if key in cache:
         return cache[key]
 
@@ -591,9 +596,59 @@ def _all_stats_fn(finref: FinalizeRef, interpret: bool):
                 parts.append(pk.reshape(-1))
         return jnp.concatenate([p.reshape(-1).astype(jnp.int32) for p in parts])
 
+    cache[("_all_stats_go", interpret)] = go
     fn = jax.jit(go)
     cache[key] = fn
     return fn
+
+
+def _all_stats_multi_fn(finref: FinalizeRef, interpret: bool, n: int):
+    """Batched variant: ONE program computing the packed stats vector for N
+    stacked depth planes via lax.map (each iteration is the single-sample
+    body incl. its Pallas histogram kernel) — one dispatch + one D2H for
+    the whole batch instead of N (config D's finalize drain was dominated
+    by per-dispatch tunnel latency)."""
+    cache = _fn_cache_of(finref)
+    key = ("_all_stats_multi", interpret, n)
+    if key in cache:
+        return cache[key]
+    _all_stats_fn(finref, interpret)  # ensures the raw body is cached
+    go = cache[("_all_stats_go", interpret)]
+
+    def gom(depth_stack, plane_vec, tables):
+        return jax.lax.map(
+            lambda a: go(a[0], a[1], tables), (depth_stack, plane_vec)
+        )
+
+    fn = jax.jit(gom)
+    cache[key] = fn
+    return fn
+
+
+def device_all_stats_multi_async(
+    ref: CompiledRef,
+    finref: FinalizeRef,
+    depth_devs: list,
+    plane_as: "list[int]",
+    interpret: bool = False,
+):
+    """Dispatch the batched stats program over N samples' depth planes
+    without blocking; returns a zero-arg callable yielding the per-sample
+    stats-cache dicts (each exactly what device_all_stats returns)."""
+    n = len(depth_devs)
+    fn = _all_stats_multi_fn(finref, interpret, n)
+    stack = jnp.stack([jnp.asarray(d) for d in depth_devs])
+    planes = jnp.asarray(np.asarray(plane_as, np.int32))
+    packed_dev = fn(stack, planes, _stats_tables_dev(finref))
+
+    def finish() -> list:
+        p = np.asarray(packed_dev)
+        return [
+            _unpack_all_stats(ref, finref, depth_devs[i], int(plane_as[i]), p[i])
+            for i in range(n)
+        ]
+
+    return finish
 
 
 def _stats_tables(finref: FinalizeRef) -> dict:

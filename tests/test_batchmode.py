@@ -80,3 +80,25 @@ def test_cli_batch_with_differential(tmp_path, ref):
         assert (out / f"c{i}" / "IRFinder-IR-nondir.txt").exists()
     diff_table = (out / "IRFinder-Diff.txt").read_text()
     assert diff_table.startswith("Chr\t") or "\t" in diff_table.splitlines()[0]
+
+
+def test_multi_bam_batched_device_stats_matches_single(tmp_path, ref, monkeypatch):
+    """The BATCHED finalize path (results_multi_async: one lax.map stats
+    program + one concatenated small-counter pull) must reproduce solo runs
+    byte-for-byte.  IRTPU_DEVICE_STATS=1 engages it on CPU (Pallas
+    interpreter), exactly as a real TPU run would."""
+    monkeypatch.setenv("IRTPU_DEVICE_STATS", "1")
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"b{i}.bam"
+        p.write_bytes(random_bam_bytes(seed=300 + i, n_frags=140 + 20 * i))
+        paths.append(str(p))
+    multi_dirs = [str(tmp_path / "bmulti" / f"s{i}") for i in range(3)]
+    run_multi_bam(ref, paths, multi_dirs)
+    for i, p in enumerate(paths):
+        solo = str(tmp_path / "bsolo" / f"s{i}")
+        run_bam(ref, p, solo)
+        for t in TABLES:
+            a = open(os.path.join(multi_dirs[i], t)).read()
+            b = open(os.path.join(solo, t)).read()
+            assert a == b, f"sample {i} table {t}: batched finalize diverged"
