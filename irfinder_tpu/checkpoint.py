@@ -75,15 +75,19 @@ def _pull_packed_i8(cnt) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
     if fns is None:
 
         def _pack(c):
-            flat = jnp.clip(c.reshape(-1), -128, 127).astype(jnp.int8)
+            # 1D strided-slice packing: any (N, 4)-shaped intermediate on
+            # TPU pads its trailing dim to the 128-lane tile (32x memory —
+            # both the astype chain and a bitcast reshape failed to compile
+            # at whole-genome counter scale with 34-84 GB allocation plans).
+            # Byte lanes as int32 arithmetic keeps everything 1D and lets
+            # XLA fuse the clip into the four strided reads.
+            flat = c.reshape(-1)
             pad = (-flat.size) % 4
-            w = (
-                jnp.pad(flat, (0, pad))
-                .reshape(-1, 4)
-                .astype(jnp.uint8)
-                .astype(jnp.uint32)
+            flat = jnp.pad(flat, (0, pad))
+            v = jnp.clip(flat, -128, 127).astype(jnp.uint32) & 0xFF
+            words = (
+                v[0::4] | (v[1::4] << 8) | (v[2::4] << 16) | (v[3::4] << 24)
             )
-            words = w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
             return words, (jnp.abs(c.reshape(-1)) > 127).sum()
 
         _PACK_CACHE[key] = fns = {"pack": jax.jit(_pack)}
