@@ -9,7 +9,7 @@ available (SURVEY.md §0 verification protocol, §7.3 item 2).
 
 from __future__ import annotations
 
-from typing import IO, Iterable, Sequence
+from typing import IO, Sequence
 
 import numpy as np
 
