@@ -132,3 +132,35 @@ def test_device_stats_finalize_matches_host_on_hw():
         a = open(os.path.join(out_dev, t)).read()
         b = open(os.path.join(out_host, t)).read()
         assert a == b, f"{t}: device-stats finalize != host stats on hardware"
+
+
+def test_multi_bam_batched_finalize_matches_solo_on_hw():
+    """Batch mode on the chip (wire format + batched lax.map stats program +
+    concatenated small-counter pull) vs solo runs: byte-identical tables."""
+    import os
+    import tempfile
+
+    from irfinder_tpu.engine import run_bam, run_multi_bam
+    from irfinder_tpu.io.bamgen import write_realistic_bam
+    from irfinder_tpu.synth import synth_ref
+
+    ref = synth_ref(n_genes=60)
+    tmp = tempfile.mkdtemp(prefix="irtpu_hw_multi_")
+    paths = []
+    for i in range(2):
+        p = os.path.join(tmp, f"s{i}.bam")
+        write_realistic_bam(p, ref, n_pairs=6_000 + 2_000 * i, seed=40 + i)
+        paths.append(p)
+    multi_dirs = [os.path.join(tmp, f"multi{i}") for i in range(2)]
+    run_multi_bam(ref, paths, multi_dirs)
+    for i, p in enumerate(paths):
+        solo = os.path.join(tmp, f"solo{i}")
+        run_bam(ref, p, solo)
+        for t in (
+            "IRFinder-IR-nondir.txt", "IRFinder-IR-dir.txt",
+            "IRFinder-JuncCount.txt", "IRFinder-SpansPoint.txt",
+            "IRFinder-ROI.txt", "IRFinder-ChrCoverage.txt",
+        ):
+            a = open(os.path.join(multi_dirs[i], t)).read()
+            b = open(os.path.join(solo, t)).read()
+            assert a == b, f"sample {i} {t}: batch-mode diverged on hardware"
