@@ -358,10 +358,15 @@ class Engine:
 
     def _annotate_wire(self, m: RunMetrics) -> None:
         """Attach the link's measured rate + the derived wire floor so every
-        run can print wall vs the transport's physical floor."""
-        if self.link is not None and self.link.idle_mbs > 0 and m.wire_bytes:
-            m.wire_rate_mbs = self.link.idle_mbs
-            m.wire_floor_s = m.wire_bytes / (self.link.idle_mbs * 1e6)
+        run can print wall vs the transport's physical floor.  The floor
+        uses the link's BEST recently-demonstrated rate (the phase swings
+        5-55 MB/s; a trough-phase rate would put the floor above walls)."""
+        if self.link is None or not m.wire_bytes:
+            return
+        rate = max(self.link.idle_mbs, getattr(self.link, "best_mbs", 0.0))
+        if rate > 0:
+            m.wire_rate_mbs = self.link.idle_mbs or rate
+            m.wire_floor_s = m.wire_bytes / (rate * 1e6)
 
     def run_stream(
         self,

@@ -579,13 +579,20 @@ class MeshEngine:
                 done += 1
                 if on_batch is not None:
                     on_batch(done)
-            # sync the final burst: the reassemble/stats pulls in
-            # results_async suffer the transfer collapse while step execs
-            # are in flight (engine.run_stream rationale)
-            window.flush(sync=True)
-            if self.link is not None and self.link.idle_mbs > 0 and m.wire_bytes:
-                m.wire_rate_mbs = self.link.idle_mbs
-                m.wire_floor_s = m.wire_bytes / (self.link.idle_mbs * 1e6)
+            # sync the stream end under EITHER schedule: the reassemble /
+            # stats pulls in results_async suffer the transfer collapse
+            # while step execs / trailing transfers are in flight
+            if self._defer_exec:
+                window.flush(sync=True)
+            else:
+                sync_pull()
+            if self.link is not None and m.wire_bytes:
+                rate = max(
+                    self.link.idle_mbs, getattr(self.link, "best_mbs", 0.0)
+                )
+                if rate > 0:
+                    m.wire_rate_mbs = self.link.idle_mbs or rate
+                    m.wire_floor_s = m.wire_bytes / (rate * 1e6)
         finally:
             self._flush_pending = None
             stop.set()

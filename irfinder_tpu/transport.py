@@ -49,12 +49,17 @@ _BUF_WORDS = 1 << 19  # 2 MB int32 per buffer; 16 MB per schedule
 
 @dataclasses.dataclass
 class LinkProfile:
-    idle_mbs: float  # put-completion rate, idle device (MB/s)
+    idle_mbs: float  # put-completion rate, idle device (MB/s, this phase)
     eager_s: float  # micro-workload wall, eager interleave
     deferred_s: float  # micro-workload wall, deferred burst
     defer: bool  # chosen schedule
     source: str  # "probe" | "cache" | "env" | "default"
     probed_at: float = 0.0
+    #: best idle rate seen across recent probes: the link's phase swings
+    #: 5-55 MB/s, and a FLOOR (wire_floor_s = bytes / rate) must use the
+    #: best demonstrated rate — a trough-phase rate would put the "floor"
+    #: above measured walls
+    best_mbs: float = 0.0
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -161,15 +166,18 @@ def probe_link(force: bool = False) -> LinkProfile:
 
     backend = jax.default_backend()
     path = _cache_path(backend)
-    if not force:
-        try:
-            with open(path) as fh:
-                d = json.load(fh)
-            if time.time() - d.get("probed_at", 0) < PROBE_TTL_S:
-                _PROFILE = LinkProfile(**{**d, "source": "cache"})
-                return _PROFILE
-        except (OSError, ValueError, TypeError):
-            pass
+    prev_best = 0.0
+    try:
+        with open(path) as fh:
+            d = json.load(fh)
+        if time.time() - d.get("probed_at", 0) < 7 * 86400:
+            prev_best = float(d.get("best_mbs", d.get("idle_mbs", 0.0)))
+        if not force and time.time() - d.get("probed_at", 0) < PROBE_TTL_S:
+            d.setdefault("best_mbs", d.get("idle_mbs", 0.0))
+            _PROFILE = LinkProfile(**{**d, "source": "cache"})
+            return _PROFILE
+    except (OSError, ValueError, TypeError):
+        pass
 
     dummy = _make_dummy()
     bufs = _probe_bufs()
@@ -210,6 +218,7 @@ def probe_link(force: bool = False) -> LinkProfile:
         defer=defer,
         source="probe",
         probed_at=time.time(),
+        best_mbs=round(max(idle_mbs, prev_best), 2),
     )
     try:
         with open(path + ".tmp", "w") as fh:
