@@ -808,7 +808,12 @@ class Engine:
         so each sample's directionality is known and the batched program
         gets the CORRECT flip plane — no optimistic re-dispatch.  Returns
         one finish callable per sample (same bundles as results_async)."""
-        if not self._device_stats or len(sts) <= 1:
+        # the batched program stacks N depth planes on device: at
+        # whole-genome scale (2.4 GB each) that would exhaust HBM, so large
+        # maps keep the per-sample path (their per-dispatch latency is
+        # negligible next to their stats compute anyway)
+        depth_budget = 2 * len(sts) * int(self.ref.mbs_size) * 4
+        if not self._device_stats or len(sts) <= 1 or depth_budget > 2_000_000_000:
             return [self.results_async(st=s) for s in sts]
         import jax.numpy as jnp
 
