@@ -124,6 +124,18 @@ def bench_e2e() -> None:
     from irfinder_tpu.engine import run_bam
     from irfinder_tpu.synth import synth_ref
 
+    import jax
+
+    if jax.default_backend() == "tpu" and not SMOKE:
+        # refresh the link probe so the reported wire rate/floor reflect
+        # THIS bench's phase (the wire swings 5-55 MB/s on minute scales)
+        from irfinder_tpu.transport import probe_link
+
+        try:
+            probe_link(force=True)
+        except Exception:
+            pass
+
     n_pairs = _envint("BENCH_PAIRS", 5_000_000, 3_000)
     ref = synth_ref(n_genes=200 if SMOKE else 800)  # chr21-scale: ~14k unique introns
     warm_bam = _cached_bam(ref, n_pairs=2_000 if SMOKE else 50_000, seed=3)
