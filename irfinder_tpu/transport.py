@@ -1,12 +1,14 @@
 """Host->device transport probe: measure the link, don't assume it.
 
 The engine's transfer schedule (eager interleave vs deferred bursts —
-engine.DEFER_WINDOW_BYTES) was designed against a pathological transport:
-the dev box reaches its TPU through a tunnel whose H2D runs 8-75 MB/s
-content-dependent and collapses ~15x whenever any execution is in flight
-(BASELINE.md transport microbenchmarks).  On a production host with local
-PCIe/ICI the same deferred schedule would be the WRONG choice — eager
-overlaps transfer with compute and the engine is decode-bound there.
+engine.DEFER_WINDOW_BYTES) was originally hard-wired against one measured
+pathology: the dev box reaches its TPU through a tunnel whose H2D runs
+5-55 MB/s phase-dependent, and in SOME phases transfers collapse under
+in-flight executions (round-4 measured 15x; round-5 found the same link
+favoring eager by 1.5-2x hours later — the behavior is weather, not a
+constant).  On a production host with local PCIe/ICI a hard-wired deferred
+schedule would simply be wrong: eager overlaps transfer with compute and
+the engine is decode-bound there.
 
 Instead of keying the schedule off `jax.default_backend() == "tpu"`
 (round-4 verdict #5: this-tunnel-native, not TPU-native), probe_link()
