@@ -203,12 +203,31 @@ def probe_link(force: bool = False) -> LinkProfile:
         dt = max(time.perf_counter() - t0, 1e-9)
         return float(sum(b.nbytes for b in bufs) / dt / 1e6)
 
+    # time-box: in deep-distress phases a full probe has taken minutes
+    # (16 MB legs at <2 MB/s); a link that slow is collapse-adjacent, and
+    # defer is the safe schedule — don't stall engine init measuring it
+    t_probe0 = time.perf_counter()
+    first_idle = idle_rate()
+    if time.perf_counter() - t_probe0 > 10.0:
+        _PROFILE = LinkProfile(
+            idle_mbs=round(first_idle, 2), eager_s=0.0, deferred_s=0.0,
+            defer=True, source="probe", probed_at=time.time(),
+            best_mbs=round(max(first_idle, prev_best), 2),
+        )
+        try:
+            with open(path + ".tmp", "w") as fh:
+                json.dump(_PROFILE.as_dict(), fh)
+            os.replace(path + ".tmp", path)
+        except OSError:
+            pass
+        return _PROFILE
     # interleaved best-of-2 per schedule: the tunnel's phase wanders on
     # second scales, so a single rep ranks weather, not structure — min()
     # filters weather while a structural collapse hits every eager rep
-    idle_rates, t_def, t_eag = [], float("inf"), float("inf")
-    for _ in range(2):
-        idle_rates.append(idle_rate())
+    idle_rates, t_def, t_eag = [first_idle], float("inf"), float("inf")
+    for rep in range(2):
+        if rep:
+            idle_rates.append(idle_rate())
         t_def = min(t_def, _run_deferred(jax, dummy, bufs))
         t_eag = min(t_eag, _run_eager(jax, dummy, bufs))
     idle_mbs = max(idle_rates)
